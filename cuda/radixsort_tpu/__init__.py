@@ -1,0 +1,21 @@
+"""cuda.radixsort_tpu — a TPU-native vectorized query-execution engine.
+
+A brand-new TPU-first framework (JAX / XLA / Pallas / shard_map) with the
+capabilities of the reference CUDA LSD radix sort (truongchauhien/CUDA.RadixSort,
+canonical form: CUB DeviceRadixSort): the per-digit pipeline — per-tile digit
+histogram, exclusive prefix-scan over the striped spine, stable scatter —
+re-designed as Pallas kernels over HBM-resident column batches and generalized
+into a full operator set (radix partition, hash join, hash aggregate, predicate
+filter with selection vectors) scaled over a device mesh with a skew-aware,
+double-buffered all-to-all shuffle.
+
+Public API (reference parity: CUB `device_radix_sort.cuh`, thrust `sort.h`):
+    sort, sort_pairs, argsort       — stable radix sort (keys / key-value)
+    SortConfig, preset              — tuning policy (analogue of the CUB policy hub)
+"""
+
+from cuda.radixsort_tpu.config import LANES, SortConfig, preset, resolve  # noqa: F401
+from cuda.radixsort_tpu.ops.sort import argsort, sort, sort_pairs  # noqa: F401
+from cuda.radixsort_tpu import twiddle  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,75 @@
+"""Sort/operator configuration — the TPU-native analogue of the reference's
+compile-time tuning policy hub (CUB ``dispatch/tuning/tuning_radix_sort.cuh:358-1063``,
+which selects radix bits, block geometry and rank/scan algorithms per SM arch).
+
+Here a small frozen dataclass, resolved at trace time, plays that role: digit
+width, tile geometry (rows x 128 lanes), engine selection and per-TPU-generation
+presets. Everything is static so the whole pipeline stays jit-compilable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+
+LANES = 128  # TPU vector lane count — last dim of every tile.
+
+
+@dataclasses.dataclass(frozen=True)
+class SortConfig:
+    """Static configuration for one sort/partition invocation.
+
+    Attributes:
+      radix_bits: digit width in bits (CUB uses 5-8; we default to 8 =>
+        256 bins, one full vreg row of histogram per tile).
+      tile_rows: sublane rows per tile; tile holds ``tile_rows * LANES`` keys.
+      engine: 'auto' | 'pallas' | 'reference' | 'xla'.
+        - pallas: the fast TPU kernels.
+        - reference: pure-jnp pipeline with the exact same tile/spine layout
+          (the semantics oracle; runs anywhere).
+        - xla: jax.lax.sort-based fallback (trivially correct; the "thrust
+          merge-sort path" analogue for unsupported configurations).
+      interpret: run Pallas kernels in interpreter mode (CPU CI).
+    """
+
+    radix_bits: int = 8
+    tile_rows: int = 64
+    engine: str = "auto"
+    interpret: bool = False
+
+    @property
+    def num_bins(self) -> int:
+        return 1 << self.radix_bits
+
+    @property
+    def tile_elems(self) -> int:
+        return self.tile_rows * LANES
+
+    def replace(self, **kw) -> "SortConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@functools.cache
+def default_backend() -> str:
+    return jax.default_backend()
+
+
+def preset(platform: str | None = None) -> SortConfig:
+    """Per-generation preset — moral equivalent of CUB's Policy500..Policy1000."""
+    platform = platform or default_backend()
+    if platform == "tpu":
+        # engine flips to "pallas" once the kernel pipeline lands (M1).
+        return SortConfig(radix_bits=8, tile_rows=64, engine="reference")
+    # CPU / interpret: same layout, jnp reference engine by default.
+    return SortConfig(radix_bits=8, tile_rows=64, engine="reference")
+
+
+def resolve(config: SortConfig | None = None, **overrides) -> SortConfig:
+    cfg = config or preset()
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    if cfg.engine == "auto":
+        cfg = cfg.replace(engine=preset().engine)
+    return cfg

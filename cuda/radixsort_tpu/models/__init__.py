@@ -1,0 +1,2 @@
+"""Flagship end-to-end pipelines ("models"): the benchmark sort / join / query
+configurations from BASELINE.json, single-chip and distributed."""

@@ -1,0 +1,31 @@
+"""Test harness config.
+
+The suite runs on CPU with 8 virtual devices (the distributed tests exercise
+shard_map/all-to-all logic without a pod — SURVEY.md §4.4). Pallas kernels run
+in interpreter mode on CPU; the same tests run compiled on a real TPU when one
+is present and TPUSORT_TEST_TPU=1 is set.
+"""
+
+import os
+import sys
+
+# Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)  # 64-bit keys are first-class here.
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"

@@ -14,7 +14,13 @@ Public API (reference parity: CUB `device_radix_sort.cuh`, thrust `sort.h`):
     SortConfig, preset              — tuning policy (analogue of the CUB policy hub)
 """
 
-from cuda.radixsort_tpu.config import LANES, SortConfig, preset, resolve  # noqa: F401
+from cuda.radixsort_tpu.config import (  # noqa: F401
+    LANES,
+    SortConfig,
+    best_engine,
+    preset,
+    resolve,
+)
 from cuda.radixsort_tpu.ops.sort import argsort, sort, sort_pairs  # noqa: F401
 from cuda.radixsort_tpu import twiddle  # noqa: F401
 

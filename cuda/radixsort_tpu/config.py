@@ -56,14 +56,21 @@ def default_backend() -> str:
     return jax.default_backend()
 
 
+def best_engine(platform: str | None = None) -> str:
+    """Fastest full-sort engine for the platform.
+
+    Today: 'xla' (lax.sort) — the measured speed-of-light comparator for plain
+    full-width sorts on this chip (NOTES.md probe data). The Pallas radix
+    engine owns partitioning / stability-critical / bit-range configs; the
+    auto logic will route per-config once its measurements land.
+    """
+    return "xla"
+
+
 def preset(platform: str | None = None) -> SortConfig:
     """Per-generation preset — moral equivalent of CUB's Policy500..Policy1000."""
     platform = platform or default_backend()
-    if platform == "tpu":
-        # engine flips to "pallas" once the kernel pipeline lands (M1).
-        return SortConfig(radix_bits=8, tile_rows=64, engine="reference")
-    # CPU / interpret: same layout, jnp reference engine by default.
-    return SortConfig(radix_bits=8, tile_rows=64, engine="reference")
+    return SortConfig(radix_bits=8, tile_rows=64, engine=best_engine(platform))
 
 
 def resolve(config: SortConfig | None = None, **overrides) -> SortConfig:

@@ -188,7 +188,17 @@ def _sort_limbs(
     if cfg.engine == "xla":
         # sort keys = limbs masked to the participating bit range (most
         # significant limb first = primary key); original limbs ride along as
-        # payload so out-of-range bits survive untouched.
+        # payload so out-of-range bits survive untouched. When every limb
+        # participates fully the masked copies are skipped (the hot path for
+        # plain full-width sorts — matches raw lax.sort cost).
+        full = all(b == 0 and e == 32 for (b, e) in limb_bits)
+        if full:
+            operands = list(limbs) + list(payloads)
+            out = jax.lax.sort(
+                operands, num_keys=len(limbs), is_stable=True, dimension=0
+            )
+            k = len(limbs)
+            return list(out[:k]), list(out[k:])
         masked = [
             c & jnp.uint32(((1 << e) - 1) & ~((1 << b) - 1) & 0xFFFFFFFF)
             for c, (b, e) in zip(limbs, limb_bits)

@@ -1,0 +1,109 @@
+"""Pallas engine driver: LSD pipeline over limb columns.
+
+Glue between ops/sort.py's limb decomposition and the stage/histogram
+kernels. Role parity: DispatchRadixSort::InvokePasses pass planning
+(dispatch_radix_sort.cuh:822-988) — but all stage bases come from ONE fused
+histogram read per limb (histograms are permutation-invariant), and "double
+buffering" is XLA's problem (functional dataflow), not ours.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cuda.radixsort_tpu.kernels import histogram as hist_lib
+from cuda.radixsort_tpu.kernels import stage as stage_lib
+
+ROWS = stage_lib.ROWS
+TILE = ROWS * 128
+
+
+def _to_planes(col: jnp.ndarray, nrows: int) -> jnp.ndarray:
+    return col.reshape(nrows, 128)
+
+
+def _stages_for(begin: int, end: int) -> list[int]:
+    """4-bit stage shifts covering bit range [begin, end), LSD order.
+
+    Stages are aligned to 4-bit boundaries; out-of-range bits are masked by
+    histogram/partition of the digit value only when fully covered — for
+    partial nibbles we widen to the containing nibble (correct because the
+    extra bits are constant... they are NOT constant; so instead we require
+    callers to pass nibble-aligned ranges and pre-mask otherwise — see
+    sort_limbs_pallas).
+    """
+    lo = begin // 4
+    hi = -(-end // 4)
+    return [4 * s for s in range(lo, hi)]
+
+
+def sort_limbs_pallas(limbs, limb_bits, payloads, cfg):
+    """Stable LSD sort of uint32 limb columns via the Pallas stage kernel.
+
+    limbs[k]: (N,) uint32, most-significant first; limb_bits[k]=(begin,end)
+    participating bits. Payloads follow the permutation. Input length must be
+    a multiple of TILE (ops/sort.py pads). Non-nibble-aligned bit ranges are
+    handled by pre-masking a copy of the limb for ordering and carrying the
+    original as a payload (CUB begin_bit/end_bit semantics).
+    """
+    interpret = bool(cfg.interpret)
+    n = limbs[0].shape[0]
+    assert n % TILE == 0, n
+    nrows = n // 128
+
+    planes = [ _to_planes(c, nrows) for c in limbs ]
+    pay_planes = [ _to_planes(p.view(jnp.uint32) if p.dtype != jnp.uint32
+                              else p, nrows) for p in payloads ]
+
+    for k in range(len(limbs) - 1, -1, -1):
+        begin, end = limb_bits[k]
+        if begin >= end:
+            continue
+        aligned = (begin % 4 == 0) and (end % 4 == 0)
+        if aligned:
+            key_plane = planes[k]
+            extra = []
+        else:
+            mask = jnp.uint32(((1 << end) - 1) & ~((1 << begin) - 1))
+            key_plane = planes[k] & mask
+            extra = [planes[k]]  # original rides as payload
+        others = [planes[i] for i in range(len(planes)) if i != k] + extra
+
+        hists = hist_lib.digit_histograms(
+            key_plane, n_stages=-(-end // 4), interpret=interpret
+        )
+        bases = hist_lib.stage_bases(hists)
+        all_planes = [key_plane] + others + pay_planes
+        for shift in _stages_for(begin if aligned else 4 * (begin // 4),
+                                 end):
+            out = stage_lib.partition_stage(
+                all_planes, bases[shift // 4], shift=shift,
+                interpret=interpret,
+            )
+            all_planes = out
+
+        # unpack
+        key_plane = all_planes[0]
+        rest = all_planes[1:]
+        oi = 0
+        new_planes = []
+        for i in range(len(planes)):
+            if i == k:
+                new_planes.append(key_plane if aligned else None)
+            else:
+                new_planes.append(rest[oi])
+                oi += 1
+        if not aligned:
+            new_planes[k] = rest[oi]
+            oi += 1
+        planes = new_planes
+        pay_planes = list(rest[oi:])
+
+    out_limbs = [p.reshape(-1) for p in planes]
+    out_pays = []
+    for p, orig in zip(pay_planes, payloads):
+        flat = p.reshape(-1)
+        out_pays.append(flat.view(orig.dtype) if orig.dtype != jnp.uint32
+                        else flat)
+    return out_limbs, out_pays

@@ -47,8 +47,12 @@ _U32 = jnp.uint32
 
 
 def _matmul(m: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """bf16 x bf16 -> f32 matmul. Operand values must be <= 255 (bf16-exact):
+    TPU matmuls run bf16 passes by default, so 16-bit halves would corrupt
+    low bits — the router therefore moves data as four 8-bit byte planes."""
     return jax.lax.dot_general(
-        m, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        m.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
 
 
@@ -122,13 +126,13 @@ def _stage_kernel(shift: int, n_planes: int, total_rows: int, gb_ref, *refs):
                 rot = rots[p]
                 rh = jnp.where(mh, rot, _U32(0))
                 rw = jnp.where(mw, rot, _U32(0))
-                ctr = _U32(0)
                 acc_rows = None
-                for half, shiftv in ((0xFFFF, 0), (0xFFFF0000, 16)):
-                    ph = ((rh & _U32(half)) >> _U32(shiftv)).astype(jnp.float32)
-                    pw = ((rw & _U32(half)) >> _U32(shiftv)).astype(jnp.float32)
+                for shiftv in (0, 8, 16, 24):
+                    # route bytes through i32 -> f32 (Mosaic lacks u32<->f32)
+                    ph = ((rh >> _U32(shiftv)) & _U32(255)).astype(_I32).astype(jnp.float32)
+                    pw = ((rw >> _U32(shiftv)) & _U32(255)).astype(_I32).astype(jnp.float32)
                     s = _matmul(mrow_h, ph) + _matmul(mrow_w, pw)
-                    v = s.astype(_U32) << _U32(shiftv)
+                    v = s.astype(_I32).astype(_U32) << _U32(shiftv)
                     acc_rows = v if acc_rows is None else (acc_rows | v)
                 cur = stg[p][pl.ds(b * SROWS + off, W), :]
                 stg[p][pl.ds(b * SROWS + off, W), :] = cur | acc_rows

@@ -209,14 +209,31 @@ def _sort_limbs(
         return list(out[k : 2 * k]), list(out[2 * k :])
 
     n = limbs[0].shape[0]
-    pad = _pad_amount(n, cfg.tile_elems)
+    if cfg.engine == "pallas":
+        from cuda.radixsort_tpu.kernels import pipeline as kpipe
+
+        tile_elems = kpipe.TILE
+    else:
+        tile_elems = cfg.tile_elems
+    pad = _pad_amount(n, tile_elems)
     limbs = [_pad_bits(c, pad) for c in limbs]
     payloads = [_pad_zeros(p, pad) for p in payloads]
 
     if cfg.engine == "pallas":
-        from cuda.radixsort_tpu.kernels import pipeline as kpipe
-
-        limbs, payloads = kpipe.sort_limbs_pallas(limbs, limb_bits, payloads, cfg)
+        four_byte = all(jnp.dtype(p.dtype).itemsize == 4 for p in payloads)
+        if four_byte:
+            limbs, payloads = kpipe.sort_limbs_pallas(
+                limbs, limb_bits, payloads, cfg
+            )
+        else:
+            # non-4-byte payloads can't ride the u32 planes: truck an index
+            # through the kernel permutation, then gather (values-follow-keys,
+            # CUB GatherScatterValues analogue).
+            idx = jnp.arange(limbs[0].shape[0], dtype=jnp.int32)
+            limbs, (perm,) = kpipe.sort_limbs_pallas(
+                limbs, limb_bits, [idx], cfg
+            )
+            payloads = [jnp.take(p, perm, axis=0) for p in payloads]
     else:
         for k in range(len(limbs) - 1, -1, -1):  # least-significant column first
             begin, end = limb_bits[k]

@@ -1,0 +1,50 @@
+"""Predicate filter with selection vectors (BASELINE.json:5).
+
+TPU-native compaction: there is no efficient scatter on TPU, so compaction
+is a STABLE 1-BIT PARTITION by the negated predicate (kept rows first) —
+the same counting-pass machinery as the sort (a 1-bit LSD pass). Output is
+fixed-shape (XLA requires static shapes): compacted columns padded at the
+tail plus the valid-row count.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cuda.radixsort_tpu import config as config_lib
+from cuda.radixsort_tpu.ops.sort import sort_pairs as _sort_pairs
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def selection_vector(mask: jnp.ndarray,
+                     config: config_lib.SortConfig | None = None):
+    """mask (N,) bool -> (sel (N,) int32, count). sel[:count] are the indices
+    of rows where mask is True, in order; sel[count:] are the dropped rows'
+    indices (a permutation — usable to invert the filter)."""
+    cfg = config_lib.resolve(config)
+    n = mask.shape[0]
+    key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, sel = _sort_pairs(key, idx, begin_bit=0, end_bit=1, config=cfg)
+    count = jnp.sum(mask.astype(jnp.int32))
+    return sel, count
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def filter_columns(mask: jnp.ndarray, columns,
+                   config: config_lib.SortConfig | None = None):
+    """Compact a pytree of equal-length columns by a boolean predicate.
+
+    Returns (filtered_columns, count): rows [0, count) of every output column
+    are the rows where mask was True, in their original order; tail rows are
+    the dropped rows (NOT zeroed — slice or mask with count).
+    """
+    cfg = config_lib.resolve(config)
+    key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
+    _, out = _sort_pairs(key, columns, begin_bit=0, end_bit=1,
+                                 config=cfg)
+    count = jnp.sum(mask.astype(jnp.int32))
+    return out, count

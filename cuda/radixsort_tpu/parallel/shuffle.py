@@ -1,0 +1,197 @@
+"""Distributed all-to-all shuffle + distributed join/aggregate (BASELINE.json:5,9,10).
+
+The shuffle generalizes dsort.py's key exchange to arbitrary column sets:
+rows are routed to owner devices by bucket id (usually a key hash), via ONE
+padded all_to_all per column batch, with counts exchanged alongside. Skew
+strategy, per operator:
+
+  * aggregate: LOCAL partial aggregation BEFORE the exchange — a heavy key
+    collapses to one partial row per device, so Zipf skew cannot unbalance
+    the exchange (the repartitioning demanded by BASELINE.json:10 becomes
+    unnecessary by construction);
+  * join: when the build side is small (the FK-join benchmark shape),
+    BROADCAST it (all_gather) and never move the probe side — heavy probe
+    keys stay put; otherwise hash-exchange both sides.
+
+All collectives ride `jax.lax` (psum/all_gather/all_to_all) inside
+shard_map, so XLA schedules them asynchronously against compute (the
+exchange/compute overlap of BASELINE.json:11 is XLA's async collectives —
+measured in bench, not hand-scheduled).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cuda.radixsort_tpu import config as config_lib
+from cuda.radixsort_tpu.ops.aggregate import groupby as local_groupby
+from cuda.radixsort_tpu.ops.join import join as local_join
+from cuda.radixsort_tpu.ops.partition import hash32
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def exchange_rows(columns, dest, ndev: int, axis_name: str, cap: int):
+    """Route each local row to device dest[row]. columns: list of (S,) arrays.
+
+    Returns (received_columns, valid_mask): each (ndev*cap,) with rows from
+    source device d in slice [d*cap, (d+1)*cap) and valid_mask marking real
+    rows. Rows keep (source device, original order) — deterministic.
+    """
+    s = dest.shape[0]
+    pos = jnp.arange(s, dtype=jnp.uint32)
+    dsorted, order = jax.lax.sort(
+        [dest.astype(jnp.uint32), pos], num_keys=2, is_stable=False, dimension=0
+    )
+    order = order.astype(jnp.int32)
+    # per-dest counts via searchsorted on the sorted dests (no scatter-add);
+    # rows with dest >= ndev (invalid/masked) sort last and are excluded
+    bounds = jnp.searchsorted(
+        dsorted, jnp.arange(ndev + 1, dtype=dsorted.dtype), side="left"
+    ).astype(jnp.int32)
+    counts = jnp.diff(bounds)
+    seg = bounds[:-1]
+    idx = seg[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    gidx = jnp.where(valid, jnp.clip(idx, 0, s - 1), 0).reshape(-1)
+
+    recv_valid = jax.lax.all_to_all(
+        valid.reshape(ndev, cap), axis_name, split_axis=0, concat_axis=0
+    ).reshape(-1)
+    out = []
+    for c in columns:
+        send = jnp.where(
+            valid.reshape(-1), jnp.take(jnp.take(c, order, axis=0), gidx, axis=0),
+            jnp.zeros((), c.dtype),
+        ).reshape(ndev, cap)
+        recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
+        out.append(recv.reshape(-1))
+    return out, recv_valid
+
+
+def _owner_of_keys(keys, ndev: int):
+    return (hash32(keys) % jnp.uint32(ndev)).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "agg", "cap", "config")
+)
+def groupby_distributed(
+    keys: jnp.ndarray,
+    values: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    agg: str = "sum",
+    cap: int | None = None,
+    config: config_lib.SortConfig | None = None,
+):
+    """Distributed group-by over sharded rows. Two-phase: local partial
+    aggregate -> hash exchange of partials -> local final aggregate.
+
+    Returns (group_keys, aggregates, count) per shard, concatenated over the
+    mesh axis: device d holds the groups whose key-hash routes to d; rows
+    [0, count_d) of its slice are valid.
+    """
+    if agg not in ("sum", "count", "min", "max"):
+        raise ValueError(agg)
+    ndev = mesh.shape[axis_name]
+    n = keys.shape[0]
+    s = -(-n // ndev)
+    # partials per device <= distinct keys, capped by shard size; heavy keys
+    # collapse locally so cap = local shard size is always enough.
+    ccap = cap or s
+
+    def shard_fn(k, v):
+        k, v = k.reshape(-1), v.reshape(-1)
+        gk, gv, cnt = local_groupby(k, v, agg=agg, config=config)
+        valid0 = jnp.arange(gk.shape[0]) < cnt
+        # invalid tail rows route to dest=ndev: they sort last in the
+        # exchange and are never picked up (counts exclude them)
+        dest = jnp.where(valid0, _owner_of_keys(gk, ndev), ndev)
+        (rk, rv), rvalid = exchange_rows([gk, gv], dest, ndev, axis_name, ccap)
+        # second phase: aggregate received partials; mask invalid rows with
+        # sentinel keys that sort last and are excluded by count.
+        sent = jnp.uint32(0xFFFFFFFF)  # NOTE: key 0xFFFFFFFF itself is
+        # reserved (documented); invalid rows join the sentinel group.
+        k2 = jnp.where(rvalid, rk.astype(jnp.uint32), sent)
+        second = "sum" if agg == "count" else agg
+        if second == "min":
+            ident = jnp.array(jnp.iinfo(rv.dtype).max if
+                              jnp.issubdtype(rv.dtype, jnp.integer)
+                              else jnp.inf, rv.dtype)
+        elif second == "max":
+            ident = jnp.array(jnp.iinfo(rv.dtype).min if
+                              jnp.issubdtype(rv.dtype, jnp.integer)
+                              else -jnp.inf, rv.dtype)
+        else:
+            ident = jnp.zeros((), rv.dtype)
+        rv = jnp.where(rvalid, rv, ident)
+        g2k, g2v, c2 = local_groupby(k2, rv, agg=second, config=config)
+        # if sentinel present it forms the last group — exclude it
+        has_sent = jnp.any(~rvalid)
+        c2 = c2 - jnp.where(has_sent, 1, 0)
+        return g2k.reshape(1, -1), g2v.reshape(1, -1), c2.reshape(1, 1)
+
+    if n % ndev != 0:
+        raise ValueError(
+            f"groupby_distributed requires len(keys) % ndev == 0 (got {n}, {ndev})"
+        )
+
+    gk, gv, cnt = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+    )(keys, values)
+    return gk.reshape(-1), gv.reshape(-1), cnt.reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "config")
+)
+def join_distributed_broadcast(
+    build_keys: jnp.ndarray,
+    build_vals: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    config: config_lib.SortConfig | None = None,
+):
+    """FK inner join with a broadcast build side: all_gather the (small)
+    build table, join locally against the resident probe shard. Probe-side
+    skew is irrelevant (no probe movement); scaling is limited only by the
+    build broadcast (ICI all_gather).
+
+    Returns per-shard (keys, vals, probe_idx (local), count) concatenated
+    over the mesh axis.
+    """
+
+    def shard_fn(bk, bv, pk):
+        bk_full = jax.lax.all_gather(bk.reshape(-1), axis_name, tiled=True)
+        bv_full = jax.lax.all_gather(bv.reshape(-1), axis_name, tiled=True)
+        ok, ov, oi, cnt = local_join(
+            bk_full, bv_full, pk.reshape(-1), how="inner", config=config
+        )
+        return (
+            ok.reshape(1, -1),
+            ov.reshape(1, -1),
+            oi.reshape(1, -1),
+            cnt.reshape(1, 1),
+        )
+
+    ok, ov, oi, cnt = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name),) * 4,
+    )(build_keys, build_vals, probe_keys)
+    return ok.reshape(-1), ov.reshape(-1), oi.reshape(-1), cnt.reshape(-1)

@@ -1,0 +1,107 @@
+"""Distributed shuffle / join / aggregate tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda.radixsort_tpu.parallel import dsort, shuffle
+
+NDEV = len(jax.devices())
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return dsort.make_mesh(NDEV)
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max"])
+def test_groupby_distributed_zipf(mesh, agg):
+    rng = np.random.default_rng(11)
+    n = NDEV * 4096
+    # Zipf-skewed keys: one key takes ~60% of rows
+    keys = np.where(rng.random(n) < 0.6, 42,
+                    rng.integers(0, 300, size=n)).astype(np.uint32)
+    vals = rng.integers(-500, 500, size=n).astype(np.int32)
+
+    gk, gv, cnt = shuffle.groupby_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), mesh=mesh, agg=agg
+    )
+    gk, gv, cnt = np.asarray(gk), np.asarray(gv), np.asarray(cnt)
+    per = gk.shape[0] // NDEV
+    got = {}
+    for d in range(NDEV):
+        c = cnt[d]
+        for k, v in zip(gk[d * per : d * per + c], gv[d * per : d * per + c]):
+            assert k not in got, "group appears on two devices"
+            got[int(k)] = int(v)
+
+    uniq = np.unique(keys)
+    assert len(got) == len(uniq)
+    for k in uniq:
+        sel = vals[keys == k]
+        want = {"sum": sel.sum(), "count": len(sel),
+                "min": sel.min(), "max": sel.max()}[agg]
+        assert got[int(k)] == want, (agg, k)
+
+
+def test_join_distributed_broadcast(mesh):
+    rng = np.random.default_rng(12)
+    nb, npr = NDEV * 128, NDEV * 4096
+    bk = rng.permutation(np.arange(4 * nb, dtype=np.uint32))[:nb]
+    bv = rng.integers(0, 2**31, size=nb).astype(np.int32)
+    pk = rng.choice(np.arange(4 * nb, dtype=np.uint32), size=npr)
+    lut = dict(zip(bk.tolist(), bv.tolist()))
+
+    ok, ov, oi, cnt = shuffle.join_distributed_broadcast(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), mesh=mesh
+    )
+    ok, ov, oi, cnt = [np.asarray(x) for x in (ok, ov, oi, cnt)]
+    per = ok.shape[0] // NDEV
+    pshard = npr // NDEV
+    got = []
+    for d in range(NDEV):
+        c = cnt[d]
+        for k, v, i in zip(ok[d*per:d*per+c], ov[d*per:d*per+c], oi[d*per:d*per+c]):
+            gidx = d * pshard + i  # local probe idx -> global
+            assert pk[gidx] == k
+            got.append((int(k), int(v), int(gidx)))
+    want = [(int(k), lut[int(k)], i) for i, k in enumerate(pk) if int(k) in lut]
+    assert sorted(got) == sorted(want)
+
+
+def test_exchange_rows_basic(mesh):
+    """Rows land on their dest device, in (src, order) order, none lost."""
+    rng = np.random.default_rng(13)
+    n = NDEV * 512
+    data = rng.integers(0, 2**31, size=n).astype(np.int32)
+    dest = rng.integers(0, NDEV, size=n).astype(np.int32)
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(d, x):
+        (rx,), v = shuffle.exchange_rows(
+            [x.reshape(-1)], d.reshape(-1), NDEV, "x", 512
+        )
+        return rx.reshape(1, -1), v.reshape(1, -1)
+
+    rx, v = jax.jit(shard_map(
+        fn, mesh=mesh, in_specs=(P("x"), P("x")), out_specs=(P("x"), P("x"))
+    ))(jnp.asarray(dest), jnp.asarray(data))
+    rx, v = np.asarray(rx).reshape(NDEV, -1), np.asarray(v).reshape(NDEV, -1)
+    received = []
+    for d in range(NDEV):
+        received.extend(rx[d][v[d]].tolist())
+        # every valid row on device d was destined for d
+        srcs = np.nonzero(v[d])[0]
+    assert sorted(received) == sorted(data.tolist())
+    for d in range(NDEV):
+        want = np.concatenate(
+            [data[s * 512:(s + 1) * 512][dest[s * 512:(s + 1) * 512] == d]
+             for s in range(NDEV)]
+        )
+        np.testing.assert_array_equal(rx[d][v[d]], want)

@@ -26,6 +26,7 @@ from cuda.radixsort_tpu.ops.partition import bucket_ids, hash32, partition  # no
 from cuda.radixsort_tpu.ops.filter import filter_columns, selection_vector  # noqa: F401
 from cuda.radixsort_tpu.ops.join import join  # noqa: F401
 from cuda.radixsort_tpu.ops.aggregate import groupby  # noqa: F401
+from cuda.radixsort_tpu.ops.segmented import segmented_sort  # noqa: F401
 from cuda.radixsort_tpu import twiddle  # noqa: F401
 
 __version__ = "0.1.0"

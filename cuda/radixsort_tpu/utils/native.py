@@ -1,0 +1,160 @@
+"""ctypes bindings for the native host runtime (csrc/hostutils.cpp).
+
+Builds the shared library on first use (g++ -O3, cached under
+csrc/build/) and exposes numpy-facing wrappers. Every entry point has a
+pure-numpy fallback so the framework works without a toolchain — the native
+path is the one that keeps up with 1B-key verification.
+
+Role parity: the reference's host driver (main.cu [RECON]) — data init,
+CPU oracle sort, verification, timing hooks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+_SRC = os.path.join(_REPO, "csrc", "hostutils.cpp")
+_BUILD = os.path.join(_REPO, "csrc", "build")
+_SO = os.path.join(_BUILD, "libhostutils.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    os.makedirs(_BUILD, exist_ok=True)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-o", _SO, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        L = ctypes.CDLL(so)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        L.rt_fill_random_u32.argtypes = [u32p, ctypes.c_int64, ctypes.c_uint64]
+        L.rt_fill_skewed_u32.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_uint64,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ]
+        L.rt_lsd_sort_u32.argtypes = [u32p, u32p, ctypes.c_int64]
+        L.rt_lsd_sort_pairs_u32.argtypes = [u32p, u32p, u32p, u32p,
+                                            ctypes.c_int64]
+        L.rt_verify_sorted_u32.argtypes = [u32p, ctypes.c_int64]
+        L.rt_verify_sorted_u32.restype = ctypes.c_int64
+        L.rt_compare_u32.argtypes = [u32p, u32p, ctypes.c_int64]
+        L.rt_compare_u32.restype = ctypes.c_int64
+        L.rt_histogram16.argtypes = [u32p, ctypes.c_int64, ctypes.c_int, i64p]
+        _lib = L
+        return _lib
+
+
+def _p32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def random_u32(n: int, seed: int = 0) -> np.ndarray:
+    L = lib()
+    out = np.empty(n, np.uint32)
+    if L is None:
+        return np.random.default_rng(seed).integers(
+            0, 2**32, size=n, dtype=np.uint32
+        )
+    L.rt_fill_random_u32(_p32(out), n, seed)
+    return out
+
+
+def skewed_u32(n: int, seed: int = 0, hot_key: int = 42,
+               hot_fraction: float = 0.5) -> np.ndarray:
+    L = lib()
+    if L is None:
+        rng = np.random.default_rng(seed)
+        out = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+        out[rng.random(n) < hot_fraction] = hot_key
+        return out
+    out = np.empty(n, np.uint32)
+    den = 1 << 30
+    L.rt_fill_skewed_u32(_p32(out), n, seed, hot_key,
+                         int(hot_fraction * den), den)
+    return out
+
+
+def lsd_sort_u32(keys: np.ndarray) -> np.ndarray:
+    """Native CPU LSD radix sort (oracle). Returns a new sorted array."""
+    L = lib()
+    if L is None:
+        return np.sort(keys, kind="stable")
+    out = np.ascontiguousarray(keys, np.uint32).copy()
+    tmp = np.empty_like(out)
+    L.rt_lsd_sort_u32(_p32(out), _p32(tmp), out.shape[0])
+    return out
+
+
+def lsd_sort_pairs_u32(keys: np.ndarray, vals: np.ndarray):
+    L = lib()
+    if L is None:
+        order = np.argsort(keys, kind="stable")
+        return keys[order], vals[order]
+    k = np.ascontiguousarray(keys, np.uint32).copy()
+    v = np.ascontiguousarray(vals).view(np.uint32).copy()
+    tk, tv = np.empty_like(k), np.empty_like(v)
+    L.rt_lsd_sort_pairs_u32(_p32(k), _p32(v), _p32(tk), _p32(tv), k.shape[0])
+    return k, v.view(vals.dtype)  # 4 passes (even) end back in k/v
+
+
+def verify_sorted_u32(keys: np.ndarray) -> int:
+    """-1 if ascending-sorted else first violating index."""
+    L = lib()
+    a = np.ascontiguousarray(keys, np.uint32)
+    if L is None:
+        bad = np.nonzero(a[:-1] > a[1:])[0]
+        return int(bad[0]) if bad.size else -1
+    return int(L.rt_verify_sorted_u32(_p32(a), a.shape[0]))
+
+
+def compare_u32(a: np.ndarray, b: np.ndarray) -> int:
+    """-1 if bit-identical else first differing index."""
+    L = lib()
+    aa = np.ascontiguousarray(a, np.uint32)
+    bb = np.ascontiguousarray(b, np.uint32)
+    if L is None:
+        bad = np.nonzero(aa != bb)[0]
+        return int(bad[0]) if bad.size else -1
+    return int(L.rt_compare_u32(_p32(aa), _p32(bb), aa.shape[0]))
+
+
+def histogram16(keys: np.ndarray, shift: int) -> np.ndarray:
+    L = lib()
+    a = np.ascontiguousarray(keys, np.uint32)
+    if L is None:
+        return np.bincount((a >> shift) & 15, minlength=16).astype(np.int64)
+    out = np.zeros(16, np.int64)
+    L.rt_histogram16(_p32(a), a.shape[0], shift,
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out

@@ -106,7 +106,7 @@ def _stage_kernel(shift: int, n_planes: int, total_rows: int, gb_ref, *refs):
         g = prow + tloc                              # (R,128) global positions
         in_run = tloc < cnt_col
         is_head = in_run & (lane >= phase)
-        is_wrap = in_run & (lane < phase)
+        is_wrap = in_run ^ is_head
         rw_head = jnp.transpose(
             jax.lax.shift_right_logical(prow, jnp.int32(7))
         )                                            # (1,R) absolute row idx

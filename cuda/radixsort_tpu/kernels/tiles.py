@@ -115,7 +115,9 @@ def inrow_sort(digits: jnp.ndarray, planes: list[jnp.ndarray]):
     tot, rb = row_tables(ss)
 
     j = _lane_iota(shape)
-    # bucket of each output slot: rowbase is non-decreasing over buckets
+    # bucket of each output slot: rowbase is non-decreasing over buckets.
+    # Broadcast compares against (R,1) columns measure FASTER than a 4-step
+    # binary search over the packed fields (Mosaic keeps columns narrow).
     bidx = jnp.zeros(shape, _I32)
     for b in range(1, NB):
         rbf = field(rb[b >> 2], b & 3)  # (R,1)

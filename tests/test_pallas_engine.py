@@ -24,12 +24,29 @@ def test_pallas_u32_low_byte():
     np.testing.assert_array_equal(got, keys[perm])
 
 
-def test_pallas_pairs_full_u32():
+def test_pallas_pairs_low16():
+    # 4 aligned stages (no mask copy) + payload plane; the full 8-stage
+    # path is exercised on hardware by scripts/tpu_check.py
     rng = np.random.default_rng(1)
     n = 5_000
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
     vals = np.arange(n, dtype=np.int32)
-    gk, gv = rs.sort_pairs(jnp.asarray(keys), jnp.asarray(vals), config=PALLAS)
-    perm = np.argsort(keys, kind="stable")
+    gk, gv = rs.sort_pairs(jnp.asarray(keys), jnp.asarray(vals),
+                           end_bit=16, config=PALLAS)
+    perm = np.argsort(keys & 0xFFFF, kind="stable")
     np.testing.assert_array_equal(np.asarray(gk), keys[perm])
     np.testing.assert_array_equal(np.asarray(gv), vals[perm])
+
+
+def test_pallas_u64_cross_limb_bits():
+    # bit range [28, 36) spans both u32 limbs: hi limb sorts bits [0,4),
+    # lo limb bits [28,32) — exercises the multi-limb pipeline path.
+    rng = np.random.default_rng(2)
+    n = 8_000
+    keys = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+    got = np.asarray(
+        rs.sort(jnp.asarray(keys), begin_bit=28, end_bit=36, config=PALLAS)
+    )
+    mask = np.uint64(((1 << 36) - 1) & ~((1 << 28) - 1))
+    perm = np.argsort(keys & mask, kind="stable")
+    np.testing.assert_array_equal(got, keys[perm])

@@ -29,8 +29,7 @@ def _oracle(keys, shift, payload=None):
     return keys[order], (payload[order] if payload is not None else None)
 
 
-@pytest.mark.parametrize("ntiles", [1, 2])
-@pytest.mark.parametrize("shift", [0, 12, 28])
+@pytest.mark.parametrize("ntiles,shift", [(1, 0), (2, 28)])
 def test_partition_uniform(ntiles, shift):
     rng = np.random.default_rng(ntiles * 100 + shift)
     n = ntiles * TILE

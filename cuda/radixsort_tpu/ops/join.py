@@ -11,10 +11,13 @@ fast at — stable sort + segmented scans:
      payload forward; a probe row matches iff the carried key equals its own;
   4. probe rows are compacted out with the filter operator.
 
-Supports inner and left joins with unique build keys (the FK-join shape of
-the benchmark: 1B probe x 100M build). Duplicate build keys resolve to the
-LAST duplicate; 1:N row expansion is future work (needs dynamic output
-sizing — planned via two-phase count + gather).
+`join` supports inner and left joins with unique build keys (the FK-join
+shape of the benchmark: 1B probe x 100M build); duplicate build keys resolve
+to the LAST duplicate. `join_expand` supports full 1:N row expansion with
+duplicate build keys via the two-phase (count -> materialize-into-capacity)
+protocol — the XLA static-shape analogue of the reference's two-phase
+temp-storage query (call with d_temp_storage==nullptr to size, then run;
+CUB device_radix_sort.cuh:339). `join_count` is phase one.
 
 The distributed variant partitions both sides by key hash over the mesh
 (parallel/shuffle.py) and runs this local join per shard.
@@ -104,3 +107,130 @@ def join(
         is_probe, (skeys, cv, sorig, matched), config=cfg
     )
     return ok, ov, oi, count, om
+
+
+# ---------------------------------------------------------------------------
+# 1:N expanding join — two-phase protocol
+# ---------------------------------------------------------------------------
+
+
+def _sorted_merge_state(build_keys, build_vals, probe_keys, cfg):
+    """Shared phase: one stable sort of (build ++ probe), then pure scans.
+
+    Returns per-sorted-row state: for every probe row p, the run of build
+    rows with its key sits at sorted positions [grp_start[p], grp_start[p] +
+    n_build[p]). Computed entirely with prefix scans (no gathers): stability
+    places build rows FIRST inside every equal-key group.
+    """
+    nb, np_ = build_keys.shape[0], probe_keys.shape[0]
+    keys = jnp.concatenate([build_keys, probe_keys])
+    side = jnp.concatenate(
+        [jnp.zeros((nb,), jnp.int32), jnp.ones((np_,), jnp.int32)]
+    )
+    vals = jnp.concatenate([build_vals, jnp.zeros((np_,), build_vals.dtype)])
+    orig = jnp.concatenate(
+        [jnp.zeros((nb,), jnp.int32), jnp.arange(np_, dtype=jnp.int32)]
+    )
+    skeys, (sside, svals, sorig) = _sort_pairs(
+        keys, (side, vals, orig), config=cfg
+    )
+    sbits = twiddle.twiddle_in(skeys)
+    n = skeys.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_build = sside == 0
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sbits[1:] != sbits[:-1]]
+    )
+    cb_incl = jnp.cumsum(is_build.astype(jnp.int32))
+    cb_excl = cb_incl - is_build.astype(jnp.int32)
+    # forward-fill (group start position, build-count before group) from each
+    # group's first row to every row of the group
+    grp_start, cb_at_start, _ = _last_valid_scan(
+        jnp.where(is_start, pos, 0), jnp.where(is_start, cb_excl, 0), is_start
+    )
+    n_build = cb_incl - cb_at_start  # at probe rows: builds in my key group
+    return skeys, svals, sorig, ~is_build, grp_start, n_build
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def join_count(
+    build_keys: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    *,
+    config: config_lib.SortConfig | None = None,
+) -> jnp.ndarray:
+    """Phase one of the expanding join: total number of inner-join output
+    rows (sum over probe rows of the matching build-row count). Use it to
+    pick `capacity` for join_expand."""
+    cfg = config_lib.resolve(config)
+    vals = jnp.zeros_like(build_keys, dtype=jnp.int32)
+    _, _, _, is_probe, _, n_build = _sorted_merge_state(
+        build_keys, vals, probe_keys, cfg
+    )
+    return jnp.sum(jnp.where(is_probe, n_build, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "how", "config"))
+def join_expand(
+    build_keys: jnp.ndarray,
+    build_vals: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    *,
+    capacity: int,
+    how: str = "inner",
+    config: config_lib.SortConfig | None = None,
+):
+    """1:N equality join: every probe row emits one output row per matching
+    build row (duplicate build keys fan out).
+
+    `capacity` is the static output size (two-phase: size with join_count).
+    Returns (keys, vals, probe_idx, matched, count):
+      keys/vals/probe_idx/matched[:count] — output rows in (key, build-run
+        offset) order; rows beyond `count` are padding. If count > capacity
+        the output is TRUNCATED to the first `capacity` rows (count still
+        reports the true total — re-invoke with a larger capacity).
+      matched — all True for inner; for how="left" unmatched probe rows emit
+        one row with matched=False and vals=0.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(how)
+    cfg = config_lib.resolve(config)
+    skeys, svals, sorig, is_probe, grp_start, n_build = _sorted_merge_state(
+        build_keys, build_vals, probe_keys, cfg
+    )
+    n = skeys.shape[0]
+    if how == "inner":
+        lens = jnp.where(is_probe, n_build, 0)
+    else:
+        lens = jnp.where(is_probe, jnp.maximum(n_build, 1), 0)
+    total = jnp.sum(lens)
+    starts = jnp.cumsum(lens) - lens  # exclusive; nondecreasing over rows
+
+    # Scatter each emitting probe row's state into its first output slot,
+    # then forward-fill across its run with a last-valid scan (the same
+    # "carry" machinery as the match scan — no gathers except the final
+    # build-value fetch).
+    c = capacity
+    slot = jnp.where(lens > 0, starts, c)  # len==0 rows dropped (mode=drop)
+    def scat(x, fill=0):
+        return jnp.full((c,), fill, x.dtype).at[slot].set(x, mode="drop")
+
+    seed = scat(jnp.ones((n,), bool), False)
+    f_start, f_grp, _ = _last_valid_scan(
+        scat(starts), scat(grp_start), seed
+    )
+    f_key, f_orig, _ = _last_valid_scan(scat(skeys), scat(sorig), seed)
+    f_nb, _, _ = _last_valid_scan(scat(n_build), scat(n_build), seed)
+
+    out_pos = jnp.arange(c, dtype=jnp.int32)
+    offset = out_pos - f_start
+    matched = f_nb > 0
+    build_pos = jnp.clip(f_grp + offset, 0, n - 1)
+    out_val = jnp.where(matched, jnp.take(svals, build_pos, axis=0),
+                        jnp.zeros((), svals.dtype))
+    valid = out_pos < jnp.minimum(total, c)
+    out_key = jnp.where(valid, f_key, jnp.zeros((), f_key.dtype))
+    out_val = jnp.where(valid, out_val, jnp.zeros((), out_val.dtype))
+    out_idx = jnp.where(valid, f_orig, -1)
+    matched = matched & valid
+    return out_key, out_val, out_idx, matched, total

@@ -13,9 +13,14 @@ BASELINE.json:5 (distributed all-to-all shuffle with histogram-driven
 partitioning); the join/aggregate operators reuse `exchange_by_bucket`.
 
 Sizing note: the exchange pads each (src,dst) lane to `cap` elements. The
-default cap is the full local shard (always correct, memory-hungry). Skewed
-or large runs should pass an explicit cap from expected balance
-(cap ≈ 2*S/ndev); a two-phase sized exchange is planned (see NOTES.md).
+default cap is the full local shard (always correct, memory-hungry).
+`sort_distributed_sized` is the two-phase sized exchange: a histogram-only
+jitted sizing pass computes the true max (src,dst) lane occupancy, the cap
+is rounded up to a power of two (bounding compile variants) and the main
+exchange runs with that static cap — recv buffers shrink from ndev*S to
+ndev*cap (~ndev x smaller when balanced). This is the distributed analogue
+of the reference's two-phase temp-storage query (size call with
+d_temp_storage==nullptr, then run — CUB device_radix_sort.cuh:339).
 """
 
 from __future__ import annotations
@@ -76,6 +81,71 @@ def _make_padded_send(bits, dest, ndev: int, cap: int, sentinel):
     return send, counts
 
 
+def _route_plan(bits, axis_name: str, ndev: int, sb: int):
+    """Shared routing math: splitter histogram -> owner -> per-key dest.
+
+    Returns (dest (S,) uint32, send_counts (ndev,) int32)."""
+    top = (bits >> jnp.uint32(32 - sb)).astype(jnp.int32)
+    lh = jnp.zeros((1 << sb,), jnp.int32).at[top].add(1, mode="drop")
+    gh = jax.lax.psum(lh, axis_name)
+    owner = _splitter_owner(gh, ndev)
+    dest = owner[top].astype(jnp.uint32)
+    counts = jnp.zeros((ndev,), jnp.int32).at[owner].add(lh)
+    return dest, counts
+
+
+def _default_splitter_bits(ndev: int) -> int:
+    return min(16, max(8, (ndev - 1).bit_length() + 6))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "descending", "splitter_bits")
+)
+def exchange_cap_for_sort(keys: jnp.ndarray, *, mesh: Mesh, axis_name: str = "x",
+                          descending: bool = False,
+                          splitter_bits: int | None = None) -> jnp.ndarray:
+    """Phase one of the sized exchange: exact max (src,dst) lane occupancy
+    for a sort_distributed of these keys. Histogram-only — no sort, no data
+    movement beyond two tiny collectives."""
+    ndev = mesh.shape[axis_name]
+    n = keys.shape[0]
+    s = -(-n // ndev)
+    pad = s * ndev - n
+    bits = twiddle.twiddle_in(keys, descending=descending).astype(jnp.uint32)
+    if pad:
+        bits = jnp.concatenate([bits, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)])
+    sb = splitter_bits or _default_splitter_bits(ndev)
+
+    def shard_fn(b):
+        _, counts = _route_plan(b.reshape(-1), axis_name, ndev, sb)
+        return jax.lax.pmax(jnp.max(counts), axis_name)
+
+    return shard_map(
+        shard_fn, mesh=mesh, in_specs=P(axis_name), out_specs=P()
+    )(bits)
+
+
+def round_cap(c: int, quantum: int = 128) -> int:
+    """Round a measured cap up to a power of two (>= quantum) so repeated
+    sized exchanges hit a bounded set of compiled variants."""
+    c = max(int(c), quantum)
+    return 1 << (c - 1).bit_length()
+
+
+def sort_distributed_sized(keys: jnp.ndarray, *, mesh: Mesh,
+                           axis_name: str = "x", descending: bool = False):
+    """Two-phase sized distributed sort: measure the exchange (jitted sizing
+    pass), then run sort_distributed with the tight static cap.
+
+    Host-level wrapper (two jit calls by design — XLA shapes are static).
+    Returns (padded_sorted, valid_counts, cap)."""
+    cap = round_cap(int(exchange_cap_for_sort(
+        keys, mesh=mesh, axis_name=axis_name, descending=descending)))
+    out, counts = sort_distributed(
+        keys, mesh=mesh, axis_name=axis_name, cap=cap, descending=descending)
+    return out, counts, cap
+
+
 def sort_sharded_bits(bits, axis_name: str, ndev: int, cap: int | None = None,
                       splitter_bits: int | None = None):
     """Distributed ascending sort of twiddled key bits. Runs inside shard_map.
@@ -87,14 +157,10 @@ def sort_sharded_bits(bits, axis_name: str, ndev: int, cap: int | None = None,
     """
     s = bits.shape[0]
     cap = s if cap is None else cap
-    sb = splitter_bits or min(16, max(8, (ndev - 1).bit_length() + 6))
+    sb = splitter_bits or _default_splitter_bits(ndev)
     sentinel = jnp.uint32(0xFFFFFFFF)
 
-    top = (bits >> jnp.uint32(32 - sb)).astype(jnp.int32)
-    lh = jnp.zeros((1 << sb,), jnp.int32).at[top].add(1, mode="drop")
-    gh = jax.lax.psum(lh, axis_name)
-    owner = _splitter_owner(gh, ndev)
-    dest = owner[top].astype(jnp.uint32)
+    dest, _ = _route_plan(bits, axis_name, ndev, sb)
 
     send, _ = _make_padded_send(bits, dest, ndev, cap, sentinel)
     recv = jax.lax.all_to_all(

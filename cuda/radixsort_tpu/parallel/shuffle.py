@@ -155,6 +155,62 @@ def groupby_distributed(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "agg", "config")
+)
+def groupby_exchange_cap(
+    keys: jnp.ndarray,
+    values: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    agg: str = "sum",
+    config: config_lib.SortConfig | None = None,
+) -> jnp.ndarray:
+    """Phase one of the sized groupby exchange: exact max number of partial
+    rows any device sends to any other (see dsort.sort_distributed_sized for
+    the protocol rationale)."""
+    ndev = mesh.shape[axis_name]
+
+    def shard_fn(k, v):
+        k, v = k.reshape(-1), v.reshape(-1)
+        gk, _, cnt = local_groupby(k, v, agg=agg, config=config)
+        valid0 = jnp.arange(gk.shape[0]) < cnt
+        dest = jnp.where(valid0, _owner_of_keys(gk, ndev), ndev)
+        counts = jnp.zeros((ndev,), jnp.int32).at[dest].add(1, mode="drop")
+        return jax.lax.pmax(jnp.max(counts), axis_name)
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(),
+    )(keys, values)
+
+
+def groupby_distributed_sized(
+    keys: jnp.ndarray,
+    values: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    agg: str = "sum",
+    config: config_lib.SortConfig | None = None,
+):
+    """Two-phase sized distributed groupby: measure the partials exchange,
+    then run groupby_distributed with the tight static cap (rounded to a
+    power of two — bounded compile variants). Host-level wrapper; returns
+    (group_keys, aggregates, counts, cap)."""
+    from cuda.radixsort_tpu.parallel.dsort import round_cap
+
+    cap = round_cap(int(groupby_exchange_cap(
+        keys, values, mesh=mesh, axis_name=axis_name, agg=agg, config=config)))
+    gk, gv, cnt = groupby_distributed(
+        keys, values, mesh=mesh, axis_name=axis_name, agg=agg, cap=cap,
+        config=config)
+    return gk, gv, cnt, cap
+
+
+@functools.partial(
     jax.jit, static_argnames=("mesh", "axis_name", "config")
 )
 def join_distributed_broadcast(

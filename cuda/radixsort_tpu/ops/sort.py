@@ -185,6 +185,10 @@ def _sort_limbs(
     that column that participate in ordering. Unsigned ascending. Returns
     (limbs, payloads) permuted into sorted order.
     """
+    if cfg.engine == "bitonic":
+        # bitonic is keys-only/full-range (dispatched in sort()); for pairs,
+        # bit ranges and argsort fall back to the stable lax.sort path.
+        cfg = cfg.replace(engine="xla")
     if cfg.engine == "xla":
         # sort keys = limbs masked to the participating bit range (most
         # significant limb first = primary key); original limbs ride along as
@@ -313,6 +317,13 @@ def sort(
     cfg = config_lib.resolve(config)
     if keys.shape[0] == 0:
         return keys
+    width = twiddle.bit_width(keys.dtype)
+    full_range = (begin_bit is None or begin_bit == 0) and (
+        end_bit is None or end_bit == width
+    )
+    if cfg.engine == "bitonic" and full_range:
+        # 32-bit-wide: 1-plane network; 64-bit: (hi, lo) 2-plane lexicographic
+        return _sort_keys_bitonic(keys, descending, cfg)
     limbs, limb_bits = _key_to_limbs(keys, descending, begin_bit, end_bit)
     limbs, _ = _sort_limbs(limbs, limb_bits, [], cfg)
     return _limbs_to_key(limbs, keys.dtype, descending)
@@ -342,6 +353,176 @@ def sort_pairs(
     return out_keys, jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+# ---------------------------------------------------------------------------
+# bitonic engine dispatch — keys-only full-range sorts (kernels/bitonic.py).
+# Bitonic networks are not stable, but keys-only ties are identical values,
+# so instability is unobservable; pairs/argsort/bit-range keep radix/xla.
+# Measured on TPU v5e: 3.5x over lax.sort @2^24, 3.1x @2^26 (NOTES.md).
+# ---------------------------------------------------------------------------
+
+
+def _bitonic_planes(planes, n, n_cmp, cfg):
+    """Pad u32 planes to a power of two with max sentinels, run the network,
+    trim. Pads are lexicographically >= every real row, so they sort to the
+    global tail."""
+    from cuda.radixsort_tpu.kernels import bitonic as bkern
+
+    logn = max((n - 1).bit_length(), 10)
+    npad = 1 << logn
+    if npad != n:
+        planes = [
+            jnp.concatenate([p, jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)])
+            for p in planes
+        ]
+    out = bkern.sort_planes_bitonic(
+        planes, n_cmp=n_cmp, log_tile=min(16, logn),
+        log_merge=min(20, logn), interpret=cfg.interpret,
+    )
+    if npad != n:
+        out = [p[:n] for p in out]
+    return out
+
+
+def _sort_keys_bitonic(keys, descending: bool, cfg) -> jnp.ndarray:
+    n = keys.shape[0]
+    limbs, _ = _key_to_limbs(keys, descending, None, None)
+    out = _bitonic_planes(limbs, n, n_cmp=len(limbs), cfg=cfg)
+    return _limbs_to_key(out, keys.dtype, descending)
+
+
+def _argsort_bitonic(keys, descending: bool, cfg) -> jnp.ndarray:
+    """Stable argsort on the network: an index plane as the lexicographic
+    tiebreak makes (key, index) a total order — ties never swap. Measured
+    2.1x over the 2-operand lax.sort path @2^22 (NOTES.md)."""
+    n = keys.shape[0]
+    limbs, _ = _key_to_limbs(keys, descending, None, None)
+    if len(limbs) != 1:
+        raise ValueError("bitonic argsort is 32-bit-wide only")
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    out = _bitonic_planes([limbs[0], idx], n, n_cmp=2, cfg=cfg)
+    return out[1].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# hybrid large-N sort: MSD Pallas partition + batched XLA bucket sort.
+#
+# XLA's sort is O(n log^2 n) comparator rounds and its throughput decays with
+# N (measured: 0.47 G/s @2^24 -> 0.32 G/s @2^27, experiments/probe7.py);
+# batching many small sorts is ~1.7x faster per element. So for large N we
+# cut log n first: partition by the top `msd_bits` with the Pallas stage
+# kernel (linear), then sort the 2^msd_bits value-disjoint buckets as one
+# batched (B, cap) lax.sort. Two host-level jit phases — the bucket capacity
+# must be static (the same two-phase sizing protocol as the reference's
+# temp-storage query, CUB device_radix_sort.cuh:339).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("descending", "msd_bits", "config")
+)
+def _hybrid_partition(keys, *, descending: bool, msd_bits: int, config):
+    """Phase A: twiddle + stable MSD partition by the top `msd_bits` bits.
+    Returns (partitioned_bits (padded), bucket bounds (B+1,))."""
+    from cuda.radixsort_tpu.kernels import pipeline as kpipe
+
+    bits = twiddle.twiddle_in(keys, descending=descending).astype(jnp.uint32)
+    pad = _pad_amount(bits.shape[0], kpipe.TILE)
+    bits = _pad_bits(bits, pad)
+    (pb,), _ = kpipe.sort_limbs_pallas(
+        [bits], [(32 - msd_bits, 32)], [], config
+    )
+    nb = 1 << msd_bits
+    # bucket boundaries: binary search works because the partitioned array is
+    # monotone in its top msd_bits (buckets are value-disjoint ranges)
+    q = (jnp.arange(nb, dtype=jnp.uint32) << jnp.uint32(32 - msd_bits))
+    tops = jnp.searchsorted(pb, q, side="left").astype(jnp.int32)
+    bounds = jnp.concatenate(
+        [tops, jnp.array([pb.shape[0]], jnp.int32)]
+    )
+    return pb, bounds
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "group"))
+def _hybrid_bucket_sort(pb, bounds, *, cap: int, group: int):
+    """Phase B: slice each bucket to a (group, cap) batch (DMA dynamic
+    slices, not gathers), pad with the max sentinel, batched lax.sort, and
+    write back with increasing-order dynamic updates — each bucket's padding
+    tail is exactly overwritten by the next bucket's write."""
+    npad = pb.shape[0]
+    nb = bounds.shape[0] - 1
+    counts = jnp.diff(bounds)
+    flat = jnp.concatenate(
+        [pb, jnp.full((cap,), 0xFFFFFFFF, jnp.uint32)]
+    )
+    lane = jnp.arange(cap, dtype=jnp.int32)[None, :]
+
+    def step(out, s):
+        d0 = s * group
+        rows = [
+            jax.lax.dynamic_slice(
+                flat, (jax.lax.dynamic_index_in_dim(bounds, d0 + g, keepdims=False),),
+                (cap,))
+            for g in range(group)
+        ]
+        mat = jnp.stack(rows)
+        cnt = jax.lax.dynamic_slice(counts, (d0,), (group,))
+        # pads == max key sort into the tail; a real 0xFFFFFFFF key is
+        # indistinguishable from a pad, so the first count[d] slots always
+        # hold the right multiset (keys-only property)
+        mat = jnp.where(lane < cnt[:, None], mat, jnp.uint32(0xFFFFFFFF))
+        mat = jnp.sort(mat, axis=-1)
+        for g in range(group):
+            out = jax.lax.dynamic_update_slice(
+                out, mat[g],
+                (jax.lax.dynamic_index_in_dim(bounds, d0 + g, keepdims=False),))
+        return out, None
+
+    out0 = jnp.full((npad + cap,), 0xFFFFFFFF, jnp.uint32)
+    out, _ = jax.lax.scan(step, out0, jnp.arange(nb // group))
+    return out[:npad]
+
+
+def _round_cap_fine(c: int) -> int:
+    """Round a bucket capacity up with <=1/16 slack (16 variants/octave)."""
+    c = max(int(c), 256)
+    q = 1 << max((c - 1).bit_length() - 4, 8)
+    return -(-c // q) * q
+
+
+def sort_large(
+    keys: jnp.ndarray,
+    *,
+    descending: bool = False,
+    msd_bits: int | None = None,
+    config: config_lib.SortConfig | None = None,
+) -> jnp.ndarray:
+    """Hybrid large-N key sort (host-level wrapper, two jit phases).
+
+    Faster than the single-jit `sort` for N >~ 2^25 on TPU; falls back to
+    `sort` for small inputs and non-32-bit keys. Not jittable itself (the
+    bucket capacity is measured, then compiled static).
+    """
+    cfg = config_lib.resolve(config)
+    n = keys.shape[0]
+    if twiddle.bit_width(keys.dtype) != 32:
+        return sort(keys, descending=descending, config=config)
+    if msd_bits is None:  # explicit msd_bits forces the hybrid path (tests)
+        if n < (1 << 22):
+            return sort(keys, descending=descending, config=config)
+        msd_bits = 4 if n < (1 << 28) else 8
+    pb, bounds = _hybrid_partition(
+        keys, descending=descending, msd_bits=msd_bits,
+        config=cfg.replace(engine="pallas"))
+    nb = 1 << msd_bits
+    cap = _round_cap_fine(int(jnp.max(jnp.diff(bounds))))
+    # bound the per-step batch footprint to ~2^26 elements
+    group = max(1, min(nb, (1 << 26) // cap))
+    while nb % group:
+        group -= 1
+    out_bits = _hybrid_bucket_sort(pb, bounds, cap=cap, group=group)
+    return twiddle.twiddle_out(out_bits[:n], keys.dtype, descending=descending)
+
+
 @functools.partial(
     jax.jit, static_argnames=("descending", "begin_bit", "end_bit", "config")
 )
@@ -355,6 +536,14 @@ def argsort(
 ) -> jnp.ndarray:
     """Stable argsort via an index payload trucked through the permutation
     (the reference's values-follow-keys scheme, downsweep :470-485)."""
+    cfg = config_lib.resolve(config)
+    width = twiddle.bit_width(keys.dtype)
+    full_range = (begin_bit is None or begin_bit == 0) and (
+        end_bit is None or end_bit == width
+    )
+    if (cfg.engine == "bitonic" and full_range and width <= 32
+            and keys.shape[0] > 0):
+        return _argsort_bitonic(keys, descending, cfg)
     idx = jnp.arange(keys.shape[0], dtype=jnp.int32)
     _, perm = sort_pairs(
         keys,

@@ -1,0 +1,86 @@
+"""Bitonic engine tests (interpret mode on CPU; hardware runs measured in
+scripts/tpu_check.py and NOTES.md).
+
+The bitonic engine serves keys-only full-range sorts; everything else must
+transparently fall back to the stable path.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import cuda.radixsort_tpu as rs
+from cuda.radixsort_tpu.kernels.bitonic import sort_bits_bitonic
+
+BITONIC = rs.SortConfig(engine="bitonic", interpret=True)
+
+
+def test_kernel_direct_multilevel():
+    # pow2 size crossing tile, merge-block and cross-stage paths
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2**32, 1 << 14, dtype=np.uint32)
+    got = np.asarray(sort_bits_bitonic(jnp.asarray(x), log_tile=10,
+                                       log_merge=12, interpret=True))
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+@pytest.mark.parametrize("n", [1, 1000, 8192])
+def test_sort_u32_sizes(n):
+    rng = np.random.default_rng(n)
+    x = rng.integers(0, 2**32, n, dtype=np.uint32)
+    got = np.asarray(rs.sort(jnp.asarray(x), config=BITONIC))
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_sort_dtypes_and_descending():
+    rng = np.random.default_rng(3)
+    i = rng.integers(-(2**31), 2**31, 4000).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(rs.sort(jnp.asarray(i), config=BITONIC)), np.sort(i))
+    f = rng.standard_normal(4000).astype(np.float32)
+    f[:10] = [0.0, -0.0, np.inf, -np.inf, 1e-40, -1e-40, 3, -3, 0.5, -0.5]
+    np.testing.assert_array_equal(
+        np.asarray(rs.sort(jnp.asarray(f), config=BITONIC,
+                           descending=True)), np.sort(f)[::-1])
+
+
+def test_sort_extremes_and_duplicates():
+    x = np.array([0xFFFFFFFF, 0, 0xFFFFFFFF, 5, 5, 0, 0xFFFFFFFF] * 300,
+                 np.uint32)
+    got = np.asarray(rs.sort(jnp.asarray(x), config=BITONIC))
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_fallbacks_stay_stable():
+    # pairs / bit-range configs must not go through the (unstable) network
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 2**16, 3000, dtype=np.uint32)
+    vals = np.arange(3000, dtype=np.int32)
+    gk, gv = rs.sort_pairs(jnp.asarray(keys), jnp.asarray(vals),
+                           config=rs.SortConfig(engine="bitonic"))
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(gk), keys[perm])
+    np.testing.assert_array_equal(np.asarray(gv), vals[perm])
+    got = np.asarray(rs.sort(jnp.asarray(keys), end_bit=8,
+                             config=rs.SortConfig(engine="bitonic")))
+    np.testing.assert_array_equal(got, keys[np.argsort(keys & 0xFF,
+                                                       kind="stable")])
+
+
+def test_sort_u64_two_plane():
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 2**64, 3000, dtype=np.uint64)
+    x[:50] = np.uint64(0xFFFFFFFF_FFFFFFFF)  # max-key ties with pads
+    got = np.asarray(rs.sort(jnp.asarray(x), config=BITONIC))
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_argsort_stable_bitonic():
+    rng = np.random.default_rng(12)
+    k = rng.integers(0, 32, 3000, dtype=np.uint32)  # heavy duplicates
+    perm = np.asarray(rs.argsort(jnp.asarray(k), config=BITONIC))
+    np.testing.assert_array_equal(perm, np.argsort(k, kind="stable"))
+    pf = rng.standard_normal(3000).astype(np.float32)
+    perm = np.asarray(rs.argsort(jnp.asarray(pf), descending=True,
+                                 config=BITONIC))
+    np.testing.assert_array_equal(perm, np.argsort(-pf, kind="stable"))

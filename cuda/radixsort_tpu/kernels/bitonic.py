@@ -187,6 +187,10 @@ def _tile_call(body, n_planes: int, nrows: int, rows_per_tile: int,
         in_specs=[spec] * n_planes,
         out_shape=[jax.ShapeDtypeStruct((nrows, LANES), _U32)] * n_planes,
         out_specs=[spec] * n_planes,
+        # identity block mapping: each grid step reads only the block it
+        # writes, so in-place buffers are safe — halves peak HBM (matters
+        # at the 2^28+ sizes where N-sized copies exhaust the 16GB chip)
+        input_output_aliases={i: i for i in range(n_planes)},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )

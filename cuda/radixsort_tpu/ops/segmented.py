@@ -58,6 +58,16 @@ def segmented_sort(
     seg = _segment_ids(offsets, n)
 
     limbs, limb_bits = _key_to_limbs(keys, descending, None, None)
+
+    if cfg.engine == "bitonic" and values is None and len(limbs) == 1:
+        # keys-only 32-bit: (segment, key) 2-plane lexicographic network —
+        # the segment plane stays ascending, the key limb carries the
+        # descending twiddle (ops/sort.py::_bitonic_planes pads/trims).
+        from cuda.radixsort_tpu.ops.sort import _bitonic_planes
+
+        out = _bitonic_planes([seg, limbs[0]], n, n_cmp=2, cfg=cfg)
+        return _limbs_to_key(out[1:], keys.dtype, descending)
+
     limbs = [seg] + limbs
     limb_bits = [(0, seg_bits)] + limb_bits
 

@@ -84,3 +84,17 @@ def test_argsort_stable_bitonic():
     perm = np.asarray(rs.argsort(jnp.asarray(pf), descending=True,
                                  config=BITONIC))
     np.testing.assert_array_equal(perm, np.argsort(-pf, kind="stable"))
+
+
+def test_segmented_bitonic():
+    rng = np.random.default_rng(13)
+    n = 4096
+    offs = np.sort(rng.choice(np.arange(1, n), 30, replace=False))
+    offsets = np.concatenate([[0], offs, [n]]).astype(np.int32)
+    k = rng.integers(0, 2**32, n, dtype=np.uint32)
+    got = np.asarray(rs.segmented_sort(jnp.asarray(k), jnp.asarray(offsets),
+                                       config=BITONIC))
+    want = k.copy()
+    for s in range(len(offsets) - 1):
+        want[offsets[s]:offsets[s + 1]] = np.sort(k[offsets[s]:offsets[s + 1]])
+    np.testing.assert_array_equal(got, want)

@@ -21,7 +21,14 @@ from cuda.radixsort_tpu.config import (  # noqa: F401
     preset,
     resolve,
 )
-from cuda.radixsort_tpu.ops.sort import argsort, sort, sort_pairs  # noqa: F401
+from cuda.radixsort_tpu.ops.sort import (  # noqa: F401
+    argsort,
+    sort,
+    sort_large,
+    sort_pairs,
+    sort_struct,
+)
+from cuda.radixsort_tpu.ops.select import kth_value, top_k  # noqa: F401
 from cuda.radixsort_tpu.ops.partition import bucket_ids, hash32, partition  # noqa: F401
 from cuda.radixsort_tpu.ops.filter import filter_columns, selection_vector  # noqa: F401
 from cuda.radixsort_tpu.ops.join import join  # noqa: F401

@@ -268,7 +268,8 @@ def _as_list(out):
                    static_argnames=("n_cmp", "log_tile", "log_merge",
                                     "interpret"))
 def sort_planes_bitonic(planes, *, n_cmp: int = 1, log_tile: int = 16,
-                        log_merge: int = 20, interpret: bool = False):
+                        log_merge: int | None = None,
+                        interpret: bool = False):
     """Ascending bitonic sort of parallel (N,) uint32 plane columns by
     plane[0] (tiebroken by plane[1] when n_cmp == 2 — pass an index plane
     for a stable sort). N must be a power of two >= 2^log_tile (callers pad
@@ -283,6 +284,10 @@ def sort_planes_bitonic(planes, *, n_cmp: int = 1, log_tile: int = 16,
     n = planes[0].shape[0]
     logn = n.bit_length() - 1
     assert n == (1 << logn), "power-of-two input required (pad upstream)"
+    if log_merge is None:
+        # measured sweet spots: 2^20 blocks up to ~2^25, 2^21 above (cross
+        # stages dominate at large N; 2^22 blocks fail to compile)
+        log_merge = 21 if logn >= 26 else 20
     # Everything here is u32/i32; trace with x64 off so literals in index
     # maps / scalar carries don't become i64 (Mosaic rejects 64-bit scalars).
     with jax.enable_x64(False):
@@ -316,7 +321,7 @@ def _sort_planes_impl(planes, n_planes, logn, n_cmp, log_tile, log_merge,
 
 @functools.partial(jax.jit, static_argnames=("log_tile", "log_merge", "interpret"))
 def sort_bits_bitonic(bits: jnp.ndarray, *, log_tile: int = 16,
-                      log_merge: int = 20,
+                      log_merge: int | None = None,
                       interpret: bool = False) -> jnp.ndarray:
     """Keys-only wrapper around sort_planes_bitonic."""
     return sort_planes_bitonic(

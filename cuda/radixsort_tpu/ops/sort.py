@@ -376,7 +376,7 @@ def _bitonic_planes(planes, n, n_cmp, cfg):
         ]
     out = bkern.sort_planes_bitonic(
         planes, n_cmp=n_cmp, log_tile=min(16, logn),
-        log_merge=min(20, logn), interpret=cfg.interpret,
+        interpret=cfg.interpret,
     )
     if npad != n:
         out = [p[:n] for p in out]
@@ -521,6 +521,46 @@ def sort_large(
         group -= 1
     out_bits = _hybrid_bucket_sort(pb, bounds, cap=cap, group=group)
     return twiddle.twiddle_out(out_bits[:n], keys.dtype, descending=descending)
+
+
+@functools.partial(jax.jit, static_argnames=("descending", "config"))
+def sort_struct(
+    key_columns,
+    values=None,
+    *,
+    descending: bool = False,
+    config: config_lib.SortConfig | None = None,
+):
+    """Stable lexicographic sort by a sequence of key columns, most
+    significant first — the decomposer protocol for user-defined struct
+    keys (reference: CUB ``util_type.cuh:528-567`` ``traits_t<T,false>`` /
+    ``custom_digit_extractor_t``, where a custom type sorts by a tuple of
+    its arithmetic members).
+
+    key_columns: sequence of equal-length 1-D arrays, any supported key
+    dtype each (mixed dtypes fine — each column twiddles independently).
+    values: optional pytree of payload columns. Returns (sorted key columns
+    as a tuple, sorted values) or just the tuple when values is None.
+    """
+    cols = list(key_columns)
+    if not cols:
+        raise ValueError("need at least one key column")
+    cfg = config_lib.resolve(config)
+    limbs, limb_bits, spans = [], [], []
+    for col in cols:
+        l, b = _key_to_limbs(col, descending, None, None)
+        spans.append(len(l))
+        limbs += l
+        limb_bits += b
+    leaves, treedef = jax.tree_util.tree_flatten(values)
+    limbs, leaves = _sort_limbs(limbs, limb_bits, list(leaves), cfg)
+    out_cols, i = [], 0
+    for col, span in zip(cols, spans):
+        out_cols.append(_limbs_to_key(limbs[i:i + span], col.dtype, descending))
+        i += span
+    if values is None:
+        return tuple(out_cols)
+    return tuple(out_cols), jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 @functools.partial(

@@ -1,0 +1,76 @@
+"""Measurement harness — the framework's tracing/profiling subsystem.
+
+Reference parity (SURVEY.md §5): the reference exposes NVTX ranges per public
+API call (CUB device_radix_sort.cuh:351,784) and cudaEvent GpuTimer timing.
+TPU-native equivalents here:
+
+  * `timed_chain` — the ONLY trustworthy wall-clock methodology through the
+    axon tunnel (NOTES.md): K data-dependent iterations chained inside one
+    jit via fori_loop, synced by device_get of a reduction, differenced
+    against a shorter chain to cancel dispatch overhead.
+  * `trace` — wraps a callable in jax.profiler.trace for TensorBoard dumps;
+    operators already carry jax.named_scope-visible names via their jitted
+    function names.
+  * `speed_of_light` — bytes-moved model vs HBM bandwidth, the per-pass
+    %SoL report the reference's tuning headers publish
+    (tuning_radix_sort.cuh:379 etc.).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+
+# v5e HBM ~819 GB/s; override per generation.
+HBM_BYTES_PER_S = {"tpu v5 lite": 819e9}
+DEFAULT_HBM = 819e9
+
+
+def timed_chain(step, x0, k: int = 6) -> float:
+    """Median-free differential chain timing: returns seconds per step(x).
+
+    step must map x -> same-shape x (rotate bits to keep data random and
+    defeat result caching)."""
+
+    @jax.jit
+    def run(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, x: step(x), x)
+
+    _ = jax.device_get(jnp.sum(run(x0, 1).ravel()[:1]))  # compile + warm
+    t0 = time.perf_counter()
+    _ = jax.device_get(jnp.sum(run(x0, k).ravel()[:1]))
+    t1 = time.perf_counter()
+    _ = jax.device_get(jnp.sum(run(x0, 3 * k).ravel()[:1]))
+    t2 = time.perf_counter()
+    return max(((t2 - t1) - (t1 - t0)) / (2 * k), 1e-9)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/tpusort-trace"):
+    """jax.profiler trace scope (view in TensorBoard / xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def speed_of_light(bytes_moved: int, seconds: float,
+                   hbm_bytes_per_s: float | None = None) -> dict:
+    """Fraction of HBM speed-of-light achieved by a pass.
+
+    bytes_moved: total HBM reads+writes of the op (e.g. one radix pass over
+    N u32 keys = 2 * 4 * N)."""
+    bw = hbm_bytes_per_s
+    if bw is None:
+        kind = jax.devices()[0].device_kind.lower()
+        bw = HBM_BYTES_PER_S.get(kind, DEFAULT_HBM)
+    achieved = bytes_moved / seconds
+    return {
+        "achieved_bytes_per_s": achieved,
+        "hbm_bytes_per_s": bw,
+        "fraction_of_sol": achieved / bw,
+    }

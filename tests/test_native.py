@@ -51,3 +51,9 @@ def test_skewed():
     keys = native.skewed_u32(200_000, seed=4, hot_key=99, hot_fraction=0.6)
     frac = np.mean(keys == 99)
     assert 0.55 < frac < 0.65
+
+
+def test_profiling_speed_of_light():
+    from cuda.radixsort_tpu.utils import profiling
+    r = profiling.speed_of_light(819e9, 1.0, hbm_bytes_per_s=819e9)
+    assert abs(r["fraction_of_sol"] - 1.0) < 1e-9

@@ -105,3 +105,30 @@ def test_groupby(agg):
         want = {"sum": sel.sum(), "count": len(sel),
                 "min": sel.min(), "max": sel.max()}[agg]
         assert gv[i] == want, (agg, k, gv[i], want)
+
+
+def test_sort_struct_lexicographic():
+    # decomposer protocol: mixed-dtype struct key (i32 major, f32 minor)
+    import cuda.radixsort_tpu as rs
+    rng = np.random.default_rng(17)
+    a = rng.integers(-50, 50, 2000).astype(np.int32)
+    b = rng.standard_normal(2000).astype(np.float32)
+    pay = np.arange(2000, dtype=np.int32)
+    (oa, ob), op = rs.sort_struct((jnp.asarray(a), jnp.asarray(b)),
+                                  jnp.asarray(pay))
+    perm = np.lexsort((b, a))  # numpy: last key is primary
+    np.testing.assert_array_equal(np.asarray(oa), a[perm])
+    np.testing.assert_array_equal(np.asarray(ob), b[perm])
+    np.testing.assert_array_equal(np.asarray(op), pay[perm])
+
+
+def test_sort_struct_u64_major_descending():
+    import cuda.radixsort_tpu as rs
+    rng = np.random.default_rng(18)
+    a = rng.integers(0, 2**64, 1500, dtype=np.uint64)
+    a[: 300] = a[0]  # duplicates exercise the minor column
+    c = rng.integers(0, 2**32, 1500, dtype=np.uint32)
+    oa, oc = rs.sort_struct((jnp.asarray(a), jnp.asarray(c)), descending=True)
+    perm = np.lexsort((-c.astype(np.int64) & 0xFFFFFFFF, ~a))  # desc both
+    np.testing.assert_array_equal(np.asarray(oa), a[perm])
+    np.testing.assert_array_equal(np.asarray(oc), c[perm])

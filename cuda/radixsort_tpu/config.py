@@ -70,6 +70,17 @@ def best_engine(platform: str | None = None) -> str:
     return "bitonic" if platform == "tpu" else "xla"
 
 
+def for_partition(cfg: SortConfig) -> SortConfig:
+    """Engine override for 1-2-stage partition-class ops (filter, partition,
+    selection vectors): the bitonic engine cannot serve bit-range configs
+    (it would silently fall back to lax.sort), while the Pallas radix stage
+    is measured 3.1x faster than that fallback (filter @2^24: 16.2 ms vs
+    50.1 ms on v5e). Explicit 'xla'/'reference' choices are respected."""
+    if cfg.engine == "bitonic":
+        return cfg.replace(engine="pallas")
+    return cfg
+
+
 def preset(platform: str | None = None) -> SortConfig:
     """Per-generation preset — moral equivalent of CUB's Policy500..Policy1000."""
     platform = platform or default_backend()

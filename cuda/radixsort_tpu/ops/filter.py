@@ -24,11 +24,13 @@ def selection_vector(mask: jnp.ndarray,
     """mask (N,) bool -> (sel (N,) int32, count). sel[:count] are the indices
     of rows where mask is True, in order; sel[count:] are the dropped rows'
     indices (a permutation — usable to invert the filter)."""
-    cfg = config_lib.resolve(config)
+    cfg = config_lib.for_partition(config_lib.resolve(config))
     n = mask.shape[0]
     key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
     idx = jnp.arange(n, dtype=jnp.int32)
-    _, sel = _sort_pairs(key, idx, begin_bit=0, end_bit=1, config=cfg)
+    # end_bit=4 (not 1): the key is already 0/1, and a nibble-aligned range
+    # lets the pallas engine skip the pre-mask copy plane (pipeline.py)
+    _, sel = _sort_pairs(key, idx, begin_bit=0, end_bit=4, config=cfg)
     count = jnp.sum(mask.astype(jnp.int32))
     return sel, count
 
@@ -42,9 +44,9 @@ def filter_columns(mask: jnp.ndarray, columns,
     are the rows where mask was True, in their original order; tail rows are
     the dropped rows (NOT zeroed — slice or mask with count).
     """
-    cfg = config_lib.resolve(config)
+    cfg = config_lib.for_partition(config_lib.resolve(config))
     key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
-    _, out = _sort_pairs(key, columns, begin_bit=0, end_bit=1,
+    _, out = _sort_pairs(key, columns, begin_bit=0, end_bit=4,
                                  config=cfg)
     count = jnp.sum(mask.astype(jnp.int32))
     return out, count

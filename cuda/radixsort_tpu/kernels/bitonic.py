@@ -244,6 +244,107 @@ def _cross_stage_pallas(planes, k: int, log_s: int, log_block: int,
     return list(out) if isinstance(out, (list, tuple)) else [out]
 
 
+def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
+                     brows: int, n_planes: int, n_cmp: int, *refs):
+    """Manual-DMA butterfly: c consecutive cross stages in ONE HBM round
+    trip. Each grid step owns a group of 2^c blocks (those connected by the
+    c strides), stages them through VMEM, compare-exchanges slot pairs, and
+    writes every member back — N read + N write for c stages, vs 3N per
+    stage for the single-stage pair kernel."""
+    ins = refs[:n_planes]
+    outs = refs[n_planes:2 * n_planes]
+    scratch = refs[2 * n_planes:3 * n_planes]
+    sem = refs[3 * n_planes]
+    g = 1 << c
+    p = pl.program_id(0)
+    low = p & ((1 << base_bit) - 1) if base_bit else 0
+    high = (p >> base_bit) << (base_bit + c)
+
+    def member(m):
+        return high | (m << base_bit) | low
+
+    for m in range(g):
+        for q in range(n_planes):
+            cp = pltpu.make_async_copy(
+                ins[q].at[pl.ds(member(m) * brows, brows), :],
+                scratch[q].at[pl.ds(m * brows, brows), :], sem)
+            cp.start()
+            cp.wait()
+
+    sign = jnp.int32(-(1 << 31))
+
+    def slot(q, m):
+        return scratch[q][pl.ds(m * brows, brows), :]
+
+    for j in range(c - 1, -1, -1):  # descending strides: bit j of m-space
+        for m in range(g):
+            if m & (1 << j):
+                continue
+            mp = m | (1 << j)
+            a_desc = ((member(m) >> (k - log_block)) & 1) == 1
+            planes_a, planes_b = [], []
+            for q in range(n_planes):
+                xa, xb = slot(q, m), slot(q, mp)
+                if q < n_cmp:
+                    xa = jax.lax.bitcast_convert_type(xa, jnp.int32) ^ sign
+                    xb = jax.lax.bitcast_convert_type(xb, jnp.int32) ^ sign
+                planes_a.append(xa)
+                planes_b.append(xb)
+            lo_side = _cmpex_planes(planes_a, planes_b, a_desc, n_cmp)
+            hi_side = _cmpex_planes(planes_b, planes_a,
+                                    jnp.logical_not(a_desc), n_cmp)
+            for q in range(n_planes):
+                ya, yb = lo_side[q], hi_side[q]
+                if q < n_cmp:
+                    ya = jax.lax.bitcast_convert_type(ya ^ sign, _U32)
+                    yb = jax.lax.bitcast_convert_type(yb ^ sign, _U32)
+                scratch[q][pl.ds(m * brows, brows), :] = ya
+                scratch[q][pl.ds(mp * brows, brows), :] = yb
+
+    for m in range(g):
+        for q in range(n_planes):
+            cp = pltpu.make_async_copy(
+                scratch[q].at[pl.ds(m * brows, brows), :],
+                outs[q].at[pl.ds(member(m) * brows, brows), :], sem)
+            cp.start()
+            cp.wait()
+
+
+_SPAN_LOG_BLOCK = 17  # 0.5 MB sub-blocks: 2^c of them stay under VMEM
+
+
+def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
+                       n_cmp: int, interpret: bool):
+    """Run cross stages with strides 2^log_s_hi .. 2^log_s_lo (consecutive,
+    descending, all >= 2^_SPAN_LOG_BLOCK) in one grouped pass."""
+    n_planes = len(planes)
+    nrows = planes[0].shape[0]
+    c = log_s_hi - log_s_lo + 1
+    # sub-block can't exceed the smallest stride in the span
+    log_block = min(_SPAN_LOG_BLOCK, log_s_lo)
+    brows = 1 << (log_block - LOG_LANES)
+    base_bit = log_s_lo - log_block
+    nblocks = nrows // brows
+    g = 1 << c
+
+    out = pl.pallas_call(
+        functools.partial(_cross_span_body, c, k, log_block, base_bit,
+                          brows, n_planes, n_cmp),
+        grid=(nblocks // g,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
+        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), _U32)] * n_planes,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
+        scratch_shapes=[pltpu.VMEM((g * brows, LANES), _U32)
+                        for _ in range(n_planes)]
+        + [pltpu.SemaphoreType.DMA],
+        input_output_aliases={i: i for i in range(n_planes)},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
+        interpret=interpret,
+    )(*planes)
+    return list(out) if isinstance(out, (list, tuple)) else [out]
+
+
 def _cross_stage(x, k: int, log_s: int):
     """Cross-tile bitonic stage in pure XLA: stride >= one tile, so pairs and
     directions are uniform over big contiguous blocks — a reshape + min/max
@@ -307,11 +408,20 @@ def _sort_planes_impl(planes, n_planes, logn, n_cmp, log_tile, log_merge,
     xs = _as_list(_tile_call(
         functools.partial(_tile_sort_body, log_tile, n_planes, n_cmp),
         n_planes, nrows, rows_per_tile, interpret)(*xs))
+    # grouped-span width: 2^c sub-blocks of 0.5 MB per plane must fit VMEM
+    c_max = max(1, 5 - (n_planes - 1).bit_length())
     for k in range(log_tile + 1, logn + 1):
         if k > log_merge:
-            for log_s in range(k - 1, log_merge - 1, -1):
-                xs = _cross_stage_pallas(xs, k, log_s, log_merge, n_cmp,
-                                         interpret)
+            log_s = k - 1
+            while log_s >= log_merge:
+                c = min(c_max, log_s - log_merge + 1)
+                if c == 1:
+                    xs = _cross_stage_pallas(xs, k, log_s, log_merge, n_cmp,
+                                             interpret)
+                else:
+                    xs = _cross_span_pallas(xs, k, log_s, log_s - c + 1,
+                                            n_cmp, interpret)
+                log_s -= c
         xs = _as_list(_tile_call(
             functools.partial(_tile_merge_body, log_merge, k, n_planes,
                               n_cmp),

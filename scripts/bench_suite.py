@@ -53,56 +53,70 @@ def main():
     #    through the limb pipeline with double buffering)
     n = 1 << (20 if SMALL else 25)
     hi = jax.random.bits(key, (n,), jnp.uint32)
-    lo = jax.random.bits(jax.random.PRNGKey(1), (n,), jnp.uint32)
-    pay = jnp.arange(n, dtype=jnp.int32)
 
+    # NOTE: every step derives its other inputs from the carried array —
+    # closed-over device arrays are inlined as dense MLIR constants and
+    # blow the remote-compile request limit (HTTP 413).
     def pairs_step(v):
         # u64 key expressed as (hi, lo) struct columns (x64-free)
+        lo = v * jnp.uint32(2654435761)
+        pay = jnp.arange(v.shape[0], dtype=jnp.int32)
         (ohi, olo), op = rs.sort_struct((v, lo), pay)
         return rot32(ohi ^ olo ^ op.astype(jnp.uint32))
 
-    t = timed_chain(pairs_step, hi, k=2)
-    report("sort_pairs_u64", n, t)
+    try:
+        t = timed_chain(pairs_step, hi, k=2)
+        report("sort_pairs_u64", n, t)
+    except Exception as e:
+        print(json.dumps({"config": "sort_pairs_u64", "error": str(e)[:120]}))
 
     # 3. hash join (FK shape), single-chip slice of the 1B x 100M contract
     npr, nb = 1 << (18 if SMALL else 24), 1 << (15 if SMALL else 21)
-    bk = jax.random.bits(key, (nb,), jnp.uint32)
-    bv = jnp.arange(nb, dtype=jnp.int32)
-    pk = jnp.take(bk, jax.random.randint(key, (npr,), 0, nb))
+    pk0 = jax.random.bits(key, (npr,), jnp.uint32) % jnp.uint32(nb)
 
     def join_step(p):
-        ok, ov, oi, cnt = rs_join(bk, bv, p, how="inner")
+        b = jnp.arange(nb, dtype=jnp.uint32)  # build keys 0..nb-1
+        bvals = b.astype(jnp.int32)
+        ok, ov, oi, cnt = rs_join(b, bvals, p % jnp.uint32(nb), how="inner")
         fold = (jnp.sum(oi.astype(jnp.uint32)) ^ cnt.astype(jnp.uint32))
         return rot32(p ^ fold)
 
-    t = timed_chain(join_step, pk, k=2)
-    report("hash_join_fk", npr, t, {"build_rows": nb})
+    try:
+        t = timed_chain(join_step, pk0, k=2)
+        report("hash_join_fk", npr, t, {"build_rows": nb})
+    except Exception as e:
+        print(json.dumps({"config": "hash_join_fk", "error": str(e)[:120]}))
 
     # 4. group-by sum over Zipf-skewed keys
     n = 1 << (18 if SMALL else 24)
     u = jax.random.uniform(key, (n,))
     zipf = jnp.where(u < 0.5, 0, (u * 100000).astype(jnp.uint32))
-    vals = jax.random.randint(key, (n,), -100, 100, jnp.int32)
 
     def gb_step(k_):
+        vals = (k_ % jnp.uint32(199)).astype(jnp.int32) - 100
         gk, gv, cnt = rs.groupby(k_, vals, agg="sum")
         fold = jnp.sum(gv.astype(jnp.uint32)) ^ cnt.astype(jnp.uint32)
         return rot32(k_ ^ fold)
 
-    t = timed_chain(gb_step, zipf, k=2)
-    report("groupby_zipf", n, t)
+    try:
+        t = timed_chain(gb_step, zipf, k=2)
+        report("groupby_zipf", n, t)
+    except Exception as e:
+        print(json.dumps({"config": "groupby_zipf", "error": str(e)[:120]}))
 
     # 5. filter -> sort -> join pipelined query (single-chip; the N-host
     #    variant runs in tests/test_query.py on the CPU-8 mesh)
     from cuda.radixsort_tpu.pipeline.query import filter_sort_join
 
     n = 1 << (18 if SMALL else 24)
-    probe = jnp.take(bk, jax.random.randint(key, (n,), 0, nb))
-    pvals = jax.random.randint(key, (n,), 0, 1 << 20, jnp.int32)
+    probe = jax.random.bits(key, (n,), jnp.uint32) % jnp.uint32(nb)
 
     def q_step(p):
+        b = jnp.arange(nb, dtype=jnp.uint32)
+        bvals = b.astype(jnp.int32)
+        pvals = (p % jnp.uint32(1 << 20)).astype(jnp.int32)
         k2, pv2, bv2, cnt2, stats = filter_sort_join(
-            p, pvals, bk, bv, jnp.int32(1 << 19))
+            p % jnp.uint32(nb), pvals, b, bvals, jnp.int32(1 << 19))
         return rot32(p ^ cnt2.astype(jnp.uint32))
 
     try:

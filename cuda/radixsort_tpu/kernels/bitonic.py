@@ -16,11 +16,14 @@ Structure (all comparisons = min/max + select; no data-dependent control):
         gathers run at ~1 elementwise-op, NOTES.md probe5/6);
       - s >= 128 (row dim): partner via two static cyclic sublane rolls +
         select.
-  * cross-tile stages (stride >= tile): pure-XLA reshape + min/max — one
-    HBM-bandwidth elementwise pass each, no kernel needed;
-  * tile merge kernel: after the cross-tile stages of global level k, each
-    tile finishes the level's strides (tile/2 .. 1) in VMEM with a scalar
-    per-tile direction.
+  * cross stages (stride >= merge block): the grouped-span kernel stages a
+    butterfly of 2^c half-MB sub-blocks through VMEM via manual DMA and
+    runs c consecutive stages per HBM round trip (in-place aliased — N
+    read + N write per span); single leftover stages use a two-block-input
+    streaming pair kernel;
+  * tile merge kernel: after the cross stages of global level k, each
+    block finishes the level's strides (block/2 .. 1) in VMEM with a
+    scalar per-block direction.
 
 Reference role: this is the framework's answer to the reference's
 single-tile/block-sort path (CUB block_radix_sort.cuh SortBlockedToStriped)
@@ -343,22 +346,6 @@ def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
         interpret=interpret,
     )(*planes)
     return list(out) if isinstance(out, (list, tuple)) else [out]
-
-
-def _cross_stage(x, k: int, log_s: int):
-    """Cross-tile bitonic stage in pure XLA: stride >= one tile, so pairs and
-    directions are uniform over big contiguous blocks — a reshape + min/max
-    elementwise pass at HBM bandwidth."""
-    n = x.shape[0]
-    s = 1 << log_s
-    y = x.reshape(-1, 2, s)
-    a, b = y[:, 0, :], y[:, 1, :]
-    mn, mx = jnp.minimum(a, b), jnp.maximum(a, b)
-    g = jnp.arange(y.shape[0], dtype=jnp.uint32)
-    asc = ((g * jnp.uint32(2 * s)) & jnp.uint32(1 << k)) == 0
-    lo = jnp.where(asc[:, None], mn, mx)
-    hi = jnp.where(asc[:, None], mx, mn)
-    return jnp.stack([lo, hi], axis=1).reshape(n)
 
 
 def _as_list(out):

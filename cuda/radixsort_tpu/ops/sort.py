@@ -496,11 +496,15 @@ def sort_large(
     msd_bits: int | None = None,
     config: config_lib.SortConfig | None = None,
 ) -> jnp.ndarray:
-    """Hybrid large-N key sort (host-level wrapper, two jit phases).
+    """Hybrid MSD-partition + batched-bucket-sort (host-level, two jit
+    phases; the bucket capacity is measured, then compiled static).
 
-    Faster than the single-jit `sort` for N >~ 2^25 on TPU; falls back to
-    `sort` for small inputs and non-32-bit keys. Not jittable itself (the
-    bucket capacity is measured, then compiled static).
+    NOTE: measured SLOWER than `sort` (0.55-0.77x of lax.sort @2^24-2^27;
+    the bitonic engine is 3-4x faster still — experiments/probe8.py,
+    NOTES.md). Kept as the reference implementation of the two-phase
+    capacity protocol and for memory-bounded scenarios where the padded
+    bucket batch must be chunked; prefer `sort` everywhere else. Falls
+    back to `sort` for small inputs and non-32-bit keys.
     """
     cfg = config_lib.resolve(config)
     n = keys.shape[0]

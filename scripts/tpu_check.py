@@ -30,3 +30,25 @@ t0 = time.perf_counter(); _ = jax.device_get(jnp.sum(g(keys, 2)[:1])); t1 = time
 _ = jax.device_get(jnp.sum(g(keys, 6)[:1])); t2 = time.perf_counter()
 dt = ((t2-t1)-(t1-t0))/4
 print(f"pallas full u32 sort @16M: {dt*1e3:.1f} ms  {n/dt/1e9:.3f} Gkeys/s", flush=True)
+
+# bitonic engine (the default full-sort path on TPU)
+from cuda.radixsort_tpu.utils.profiling import timed_chain
+
+keys_h = np.asarray(keys)
+got = np.asarray(rs.sort(keys))
+print("bitonic default correct:", np.array_equal(got, np.sort(keys_h)), flush=True)
+def _rot_sorted(v):
+    y = rs.sort(v)
+    return (y >> jnp.uint32(7)) | (y << jnp.uint32(25))
+dt = timed_chain(_rot_sorted, keys, k=4)
+print(f"bitonic full u32 sort @16M: {dt*1e3:.1f} ms  {n/dt/1e9:.3f} Gkeys/s", flush=True)
+
+perm = np.asarray(rs.argsort(keys[: 1 << 22]))
+print("bitonic argsort correct:",
+      np.array_equal(perm, np.argsort(keys_h[: 1 << 22], kind="stable")), flush=True)
+
+# partition-class routing (pallas radix by default on TPU)
+(fout,), cnt = rs.filter_columns(keys > jnp.uint32(1 << 31), (keys,))
+print("filter default correct:",
+      np.array_equal(np.asarray(fout)[: int(cnt)], keys_h[keys_h > (1 << 31)]),
+      flush=True)

@@ -402,12 +402,11 @@ def _sort_planes_impl(planes, n_planes, logn, n_cmp, log_tile, log_merge,
             log_s = k - 1
             while log_s >= log_merge:
                 c = min(c_max, log_s - log_merge + 1)
-                if c == 1:
-                    xs = _cross_stage_pallas(xs, k, log_s, log_merge, n_cmp,
-                                             interpret)
-                else:
-                    xs = _cross_span_pallas(xs, k, log_s, log_s - c + 1,
-                                            n_cmp, interpret)
+                # the span kernel serves c == 1 too: in-place (N read +
+                # N write vs the pair kernel's 3N) and no extra N-sized
+                # buffer — the difference between fitting 2^30 keys or not
+                xs = _cross_span_pallas(xs, k, log_s, log_s - c + 1,
+                                        n_cmp, interpret)
                 log_s -= c
         xs = _as_list(_tile_call(
             functools.partial(_tile_merge_body, log_merge, k, n_planes,

@@ -19,8 +19,8 @@ Structure (all comparisons = min/max + select; no data-dependent control):
   * cross stages (stride >= merge block): the grouped-span kernel stages a
     butterfly of 2^c half-MB sub-blocks through VMEM via manual DMA and
     runs c consecutive stages per HBM round trip (in-place aliased — N
-    read + N write per span); single leftover stages use a two-block-input
-    streaming pair kernel;
+    read + N write per span; serves c=1 leftovers too, which keeps every
+    pass in-place and lets 1B keys fit one chip);
   * tile merge kernel: after the cross stages of global level k, each
     block finishes the level's strides (block/2 .. 1) in VMEM with a
     scalar per-block direction.
@@ -197,54 +197,6 @@ def _tile_call(body, n_planes: int, nrows: int, rows_per_tile: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
-
-
-def _cross_pair_body(rs_b: int, k: int, log_block: int, n_planes: int,
-                     n_cmp: int, *refs):
-    selfs, parts, outs = (refs[:n_planes], refs[n_planes:2 * n_planes],
-                          refs[2 * n_planes:])
-    p = pl.program_id(0)
-    hi = ((p // rs_b) % 2) == 1
-    a = p - jnp.where(hi, rs_b, 0)  # the pair's low block index
-    desc = ((a >> (k - log_block)) & 1) == 1
-    planes = _load_planes(selfs, n_cmp)
-    partners = _load_planes(parts, n_cmp)
-    out = _cmpex_planes(planes, partners, jnp.logical_xor(hi, desc), n_cmp)
-    _store_planes(outs, out, n_cmp)
-
-
-def _cross_stage_pallas(planes, k: int, log_s: int, log_block: int,
-                        n_cmp: int, interpret: bool):
-    """One cross-block bitonic stage (stride >= block) as a Pallas streaming
-    kernel: every block reads itself + its partner and writes its own result
-    (reads 2N, writes N) — ~3x cheaper than the XLA reshape formulation
-    (measured 0.87 ms/stage @2^24, ~5x the bandwidth bound)."""
-    n_planes = len(planes)
-    nrows = planes[0].shape[0]
-    brows = 1 << (log_block - LOG_LANES)
-    rs_b = (1 << (log_s - LOG_LANES)) // brows
-    assert rs_b >= 1
-    nblocks = nrows // brows
-
-    def self_map(p):
-        return (p, 0)
-
-    def partner_map(p):
-        return (p + rs_b * (1 - 2 * ((p // rs_b) % 2)), 0)
-
-    sspec = pl.BlockSpec((brows, LANES), self_map, memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((brows, LANES), partner_map, memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_cross_pair_body, rs_b, k, log_block, n_planes,
-                          n_cmp),
-        grid=(nblocks,),
-        in_specs=[sspec] * n_planes + [pspec] * n_planes,
-        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), _U32)] * n_planes,
-        out_specs=[sspec] * n_planes,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(*planes, *planes)
-    return list(out) if isinstance(out, (list, tuple)) else [out]
 
 
 def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,

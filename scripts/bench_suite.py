@@ -71,7 +71,7 @@ def main():
         print(json.dumps({"config": "sort_pairs_u64", "error": str(e)[:120]}))
 
     # 3. hash join (FK shape), single-chip slice of the 1B x 100M contract
-    npr, nb = 1 << (18 if SMALL else 24), 1 << (15 if SMALL else 21)
+    npr, nb = 1 << (18 if SMALL else 22), 1 << (15 if SMALL else 19)
     pk0 = jax.random.bits(key, (npr,), jnp.uint32) % jnp.uint32(nb)
 
     def join_step(p):
@@ -88,7 +88,7 @@ def main():
         print(json.dumps({"config": "hash_join_fk", "error": str(e)[:120]}))
 
     # 4. group-by sum over Zipf-skewed keys
-    n = 1 << (18 if SMALL else 24)
+    n = 1 << (18 if SMALL else 22)
     u = jax.random.uniform(key, (n,))
     zipf = jnp.where(u < 0.5, 0, (u * 100000).astype(jnp.uint32))
 
@@ -108,7 +108,7 @@ def main():
     #    variant runs in tests/test_query.py on the CPU-8 mesh)
     from cuda.radixsort_tpu.pipeline.query import filter_sort_join
 
-    n = 1 << (18 if SMALL else 24)
+    n = 1 << (18 if SMALL else 22)
     probe = jax.random.bits(key, (n,), jnp.uint32) % jnp.uint32(nb)
 
     def q_step(p):

@@ -48,6 +48,35 @@ def timed_chain(step, x0, k: int = 6) -> float:
     return max(((t2 - t1) - (t1 - t0)) / (2 * k), 1e-9)
 
 
+def timed_calls(fn, args, m: int = 4) -> dict:
+    """Sequential-call timing for graphs whose chained-fori wrapper is too
+    expensive to compile (e.g. operators embedding Pallas sub-kernels —
+    measured >30 min through the remote-compile tunnel). One plain jit
+    compile; each call synced by device_get of a tiny reduction. The
+    per-call sync overhead (~20-30 ms through the tunnel) is measured with
+    a no-op and reported so callers can subtract it."""
+    jfn = jax.jit(fn)
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jax.device_get(jnp.sum(leaf.ravel()[:1]))
+
+    noop = jax.jit(lambda: jnp.zeros((1,), jnp.int32))
+    _ = sync(noop())
+    t0 = time.perf_counter()
+    for _ in range(m):
+        _ = sync(noop())
+    overhead = (time.perf_counter() - t0) / m
+
+    _ = sync(jfn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(m):
+        _ = sync(jfn(*args))
+    per_call = (time.perf_counter() - t0) / m
+    return {"seconds": max(per_call - overhead, 1e-9),
+            "sync_overhead_s": overhead, "raw_seconds": per_call}
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/tpusort-trace"):
     """jax.profiler trace scope (view in TensorBoard / xprof)."""

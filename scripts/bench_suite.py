@@ -22,9 +22,14 @@ import numpy as np
 
 import cuda.radixsort_tpu as rs
 from cuda.radixsort_tpu.ops.join import join as rs_join
-from cuda.radixsort_tpu.utils.profiling import timed_chain
+from cuda.radixsort_tpu.utils.profiling import timed_chain, timed_calls
 
 SMALL = os.environ.get("BENCH_SCALE") == "small"
+ONLY = os.environ.get("BENCH_ONLY")  # comma-separated config substrings
+
+
+def wanted(name: str) -> bool:
+    return ONLY is None or any(t in name for t in ONLY.split(","))
 
 
 def report(name, n_rows, seconds, extra=None):
@@ -44,15 +49,18 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # 1. LSD sort of 16M u32 (the reference's own config)
-    n = 1 << (20 if SMALL else 24)
-    x = jax.random.bits(key, (n,), jnp.uint32)
-    t = timed_chain(lambda v: rot32(rs.sort(v)), x, k=4)
-    report("sort_u32_16M", n, t)
+    if wanted("sort_u32"):
+        n = 1 << (20 if SMALL else 24)
+        x = jax.random.bits(key, (n,), jnp.uint32)
+        t = timed_chain(lambda v: rot32(rs.sort(v)), x, k=4)
+        report("sort_u32_16M", n, t)
 
     # 2. u64-key + u32-payload stable pairs (contract: 256M; chip fits 64M
     #    through the limb pipeline with double buffering)
     n = 1 << (20 if SMALL else 25)
     hi = jax.random.bits(key, (n,), jnp.uint32)
+    if not wanted("sort_pairs_u64"):
+        hi = None
 
     # NOTE: every step derives its other inputs from the carried array —
     # closed-over device arrays are inlined as dense MLIR constants and
@@ -64,11 +72,12 @@ def main():
         (ohi, olo), op = rs.sort_struct((v, lo), pay)
         return rot32(ohi ^ olo ^ op.astype(jnp.uint32))
 
-    try:
-        t = timed_chain(pairs_step, hi, k=2)
-        report("sort_pairs_u64", n, t)
-    except Exception as e:
-        print(json.dumps({"config": "sort_pairs_u64", "error": str(e)[:120]}))
+    if hi is not None:
+        try:
+            t = timed_chain(pairs_step, hi, k=2)
+            report("sort_pairs_u64", n, t)
+        except Exception as e:
+            print(json.dumps({"config": "sort_pairs_u64", "error": str(e)[:120]}))
 
     # 3. hash join (FK shape), single-chip slice of the 1B x 100M contract
     npr, nb = 1 << (18 if SMALL else 22), 1 << (15 if SMALL else 19)
@@ -81,11 +90,16 @@ def main():
         fold = (jnp.sum(oi.astype(jnp.uint32)) ^ cnt.astype(jnp.uint32))
         return rot32(p ^ fold)
 
-    try:
-        t = timed_chain(join_step, pk0, k=2)
-        report("hash_join_fk", npr, t, {"build_rows": nb})
-    except Exception as e:
-        print(json.dumps({"config": "hash_join_fk", "error": str(e)[:120]}))
+    if wanted("hash_join"):
+        try:
+            def join_fn(p):
+                b = jnp.arange(nb, dtype=jnp.uint32)
+                return rs_join(b, b.astype(jnp.int32), p % jnp.uint32(nb),
+                               how="inner")[3]
+            r = timed_calls(join_fn, (pk0,), m=4)
+            report("hash_join_fk", npr, r["seconds"], {"build_rows": nb})
+        except Exception as e:
+            print(json.dumps({"config": "hash_join_fk", "error": str(e)[:120]}))
 
     # 4. group-by sum over Zipf-skewed keys
     n = 1 << (18 if SMALL else 22)
@@ -98,11 +112,15 @@ def main():
         fold = jnp.sum(gv.astype(jnp.uint32)) ^ cnt.astype(jnp.uint32)
         return rot32(k_ ^ fold)
 
-    try:
-        t = timed_chain(gb_step, zipf, k=2)
-        report("groupby_zipf", n, t)
-    except Exception as e:
-        print(json.dumps({"config": "groupby_zipf", "error": str(e)[:120]}))
+    if wanted("groupby"):
+        try:
+            def gb_fn(k_):
+                vals = (k_ % jnp.uint32(199)).astype(jnp.int32) - 100
+                return rs.groupby(k_, vals, agg="sum")[1]
+            r = timed_calls(gb_fn, (zipf,), m=4)
+            report("groupby_zipf", n, r["seconds"])
+        except Exception as e:
+            print(json.dumps({"config": "groupby_zipf", "error": str(e)[:120]}))
 
     # 5. filter -> sort -> join pipelined query (single-chip; the N-host
     #    variant runs in tests/test_query.py on the CPU-8 mesh)
@@ -119,11 +137,18 @@ def main():
             p % jnp.uint32(nb), pvals, b, bvals, jnp.int32(1 << 19))
         return rot32(p ^ cnt2.astype(jnp.uint32))
 
-    try:
-        t = timed_chain(q_step, probe, k=2)
-        report("pipelined_query", n, t)
-    except Exception as e:
-        print(json.dumps({"config": "pipelined_query", "error": str(e)[:120]}))
+    if wanted("pipelined"):
+        try:
+            def q_fn(p):
+                b = jnp.arange(nb, dtype=jnp.uint32)
+                pvals = (p % jnp.uint32(1 << 20)).astype(jnp.int32)
+                return filter_sort_join(p % jnp.uint32(nb), pvals, b,
+                                        b.astype(jnp.int32),
+                                        jnp.int32(1 << 19))[3]
+            r = timed_calls(q_fn, (probe,), m=4)
+            report("pipelined_query", n, r["seconds"])
+        except Exception as e:
+            print(json.dumps({"config": "pipelined_query", "error": str(e)[:120]}))
 
 
 if __name__ == "__main__":

@@ -57,3 +57,10 @@ def test_profiling_speed_of_light():
     from cuda.radixsort_tpu.utils import profiling
     r = profiling.speed_of_light(819e9, 1.0, hbm_bytes_per_s=819e9)
     assert abs(r["fraction_of_sol"] - 1.0) < 1e-9
+
+
+def test_profiling_timed_calls():
+    import jax.numpy as jnp
+    from cuda.radixsort_tpu.utils import profiling
+    r = profiling.timed_calls(lambda x: x * 2, (jnp.arange(1024),), m=2)
+    assert r["seconds"] > 0 and r["raw_seconds"] >= r["seconds"]

@@ -24,30 +24,35 @@ from cuda.radixsort_tpu import config as config_lib
 from cuda.radixsort_tpu.ops.filter import filter_columns as _filter_columns
 from cuda.radixsort_tpu.ops.sort import sort_pairs as _sort_pairs
 
-_OPS = {
-    "sum": (jnp.add, 0),
-    "count": (jnp.add, 0),
-    "min": (jnp.minimum, None),  # identity filled per dtype
-    "max": (jnp.maximum, None),
-}
+_AGGS = ("sum", "count", "min", "max")
 
 
-def _segmented_total_at_start(values, is_start, op):
-    """Reversed segmented inclusive scan: out[i] = reduce of i's segment,
-    valid at segment-start rows. Segment flags mark starts (ascending)."""
+def _segmented_total_at_start(values, is_start, agg):
+    """out[i] = reduce of i's segment, valid at segment-start rows.
 
-    def combine(l, r):
-        lv, lf = l
-        rv, rf = r
-        # standard segmented-scan operator: r starts a segment -> keep r
-        return jnp.where(rf, rv, op(lv, rv)), lf | rf
-
-    vrev = values[::-1]
-    # reversed flags: position j starts a reversed segment iff its original
-    # row was a segment END, i.e. frev[0]=True, frev[j] = is_start[n-j]
-    frev = jnp.concatenate([jnp.ones((1,), bool), is_start[1:][::-1]])
-    out, _ = jax.lax.associative_scan(combine, (vrev, frev))
-    return out[::-1]
+    Built from compact primitives only — jax.lax.associative_scan fails to
+    compile at >=2^21 elements through this backend's remote-compile path
+    (ops/join.py note). sum/count: prefix sums + a segment-end position
+    fill (reversed cummax) + one gather. min/max: segment_min/max
+    scatter-reduce + one gather."""
+    n = values.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    if agg in ("sum", "count"):
+        cs = jnp.cumsum(values)
+        exc = cs - values
+        is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+        # end_pos[i] = smallest j >= i with is_end[j]: forward-fill on the
+        # reversed axis (reversed positions increase toward earlier rows)
+        filled_rev = jax.lax.cummax(
+            jnp.where(is_end[::-1], pos, -1)  # pos is the REVERSED index
+        )
+        end_pos = (n - 1) - filled_rev[::-1]
+        return jnp.take(cs, end_pos, axis=0) - exc
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    red = (jax.ops.segment_min if agg == "min" else jax.ops.segment_max)(
+        values, seg, num_segments=n, indices_are_sorted=True
+    )
+    return jnp.take(red, seg, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("agg", "config"))
@@ -63,19 +68,17 @@ def groupby(
     Returns (group_keys, aggregates, count): rows [0, count) hold one row per
     distinct key (key-ascending). agg="count" ignores `values`.
     """
-    if agg not in _OPS:
+    if agg not in _AGGS:
         raise ValueError(agg)
     cfg = config_lib.resolve(config)
     n = keys.shape[0]
     if agg == "count" or values is None:
         values = jnp.ones((n,), jnp.int32)
-    op, _ = _OPS[agg]
-
     skeys, svals = _sort_pairs(keys, values, config=cfg)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
     )
-    totals = _segmented_total_at_start(svals, is_start, op)
+    totals = _segmented_total_at_start(svals, is_start, agg)
     (gk, gv), count = _filter_columns(
         is_start, (skeys, totals), config=cfg
     )

@@ -36,19 +36,20 @@ from cuda.radixsort_tpu.ops.filter import filter_columns as _filter_columns
 from cuda.radixsort_tpu.ops.sort import sort_pairs as _sort_pairs
 
 
-def _last_valid_scan(bkey, bval, valid):
-    """Associative scan: carry (key, val) of the last `valid` row so far."""
+# NOTE on primitives: jax.lax.associative_scan at >=2^21 elements fails to
+# compile through this backend's remote-compile path (>40 min; measured).
+# Everything here therefore uses lax.cummax / jnp.cumsum (compact dedicated
+# lowerings, seconds to compile) + at most one n-sized gather. The forward
+# "last value at a marked row" fill is cummax(where(marked, x, -1)) — valid
+# whenever x is non-decreasing at the marked rows (positions and exclusive
+# counts are).
 
-    def combine(l, r):
-        lk, lv, lf = l
-        rk, rv, rf = r
-        return (
-            jnp.where(rf, rk, lk),
-            jnp.where(rf, rv, lv),
-            lf | rf,
-        )
 
-    return jax.lax.associative_scan(combine, (bkey, bval, valid))
+def _fill_from_marks(marked, x, fill=-1):
+    """Forward-fill x's value at marked rows to all following rows.
+    Requires x non-decreasing at marked rows. Rows before the first mark get
+    `fill`."""
+    return jax.lax.cummax(jnp.where(marked, x, fill))
 
 
 @functools.partial(jax.jit, static_argnames=("how", "config"))
@@ -90,10 +91,21 @@ def join(
 
     sbits = twiddle.twiddle_in(skeys)
     is_build = sside == 0
-    ck, cv, cvalid = _last_valid_scan(
-        jnp.where(is_build, sbits, 0), jnp.where(is_build, svals, 0), is_build
+    ntot = skeys.shape[0]
+    pos = jnp.arange(ntot, dtype=jnp.int32)
+    # matched iff MY key group contains a build row (builds sort first in
+    # each group): group build-count from cumsums — no gathers
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sbits[1:] != sbits[:-1]]
     )
-    matched = cvalid & (ck == sbits)
+    cb_incl = jnp.cumsum(is_build.astype(jnp.int32))
+    cb_excl = cb_incl - is_build.astype(jnp.int32)
+    cb_at_start = _fill_from_marks(is_start, cb_excl)
+    matched = (cb_incl - cb_at_start) > 0
+    # carried value = svals at the last build row so far (inside my group
+    # whenever matched): one n-sized gather
+    last_build_pos = _fill_from_marks(is_build, pos)
+    cv = jnp.take(svals, jnp.clip(last_build_pos, 0, ntot - 1), axis=0)
     is_probe = sside == 1
 
     if how == "inner":
@@ -144,10 +156,10 @@ def _sorted_merge_state(build_keys, build_vals, probe_keys, cfg):
     cb_incl = jnp.cumsum(is_build.astype(jnp.int32))
     cb_excl = cb_incl - is_build.astype(jnp.int32)
     # forward-fill (group start position, build-count before group) from each
-    # group's first row to every row of the group
-    grp_start, cb_at_start, _ = _last_valid_scan(
-        jnp.where(is_start, pos, 0), jnp.where(is_start, cb_excl, 0), is_start
-    )
+    # group's first row to every row of the group — position 0 is always a
+    # start, so no row keeps the -1 fill
+    grp_start = _fill_from_marks(is_start, pos)
+    cb_at_start = _fill_from_marks(is_start, cb_excl)
     n_build = cb_incl - cb_at_start  # at probe rows: builds in my key group
     return skeys, svals, sorig, ~is_build, grp_start, n_build
 
@@ -206,21 +218,21 @@ def join_expand(
     total = jnp.sum(lens)
     starts = jnp.cumsum(lens) - lens  # exclusive; nondecreasing over rows
 
-    # Scatter each emitting probe row's state into its first output slot,
-    # then forward-fill across its run with a last-valid scan (the same
-    # "carry" machinery as the match scan — no gathers except the final
-    # build-value fetch).
+    # Scatter each emitting probe row's sorted position into its first
+    # output slot, cummax-forward-fill (positions are increasing with
+    # slots), then gather the per-row state at the filled positions.
     c = capacity
     slot = jnp.where(lens > 0, starts, c)  # len==0 rows dropped (mode=drop)
-    def scat(x, fill=0):
-        return jnp.full((c,), fill, x.dtype).at[slot].set(x, mode="drop")
-
-    seed = scat(jnp.ones((n,), bool), False)
-    f_start, f_grp, _ = _last_valid_scan(
-        scat(starts), scat(grp_start), seed
+    rowpos = jnp.arange(n, dtype=jnp.int32)
+    f_pos = jax.lax.cummax(
+        jnp.full((c,), -1, jnp.int32).at[slot].set(rowpos, mode="drop")
     )
-    f_key, f_orig, _ = _last_valid_scan(scat(skeys), scat(sorig), seed)
-    f_nb, _, _ = _last_valid_scan(scat(n_build), scat(n_build), seed)
+    safe = jnp.clip(f_pos, 0, n - 1)
+    f_start = jnp.take(starts, safe, axis=0)
+    f_grp = jnp.take(grp_start, safe, axis=0)
+    f_key = jnp.take(skeys, safe, axis=0)
+    f_orig = jnp.take(sorig, safe, axis=0)
+    f_nb = jnp.take(n_build, safe, axis=0)
 
     out_pos = jnp.arange(c, dtype=jnp.int32)
     offset = out_pos - f_start

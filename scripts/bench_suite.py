@@ -80,7 +80,7 @@ def main():
             print(json.dumps({"config": "sort_pairs_u64", "error": str(e)[:120]}))
 
     # 3. hash join (FK shape), single-chip slice of the 1B x 100M contract
-    npr, nb = 1 << (18 if SMALL else 22), 1 << (15 if SMALL else 19)
+    npr, nb = 1 << (18 if SMALL else 24), 1 << (15 if SMALL else 21)
     pk0 = jax.random.bits(key, (npr,), jnp.uint32) % jnp.uint32(nb)
 
     def join_step(p):

@@ -218,13 +218,19 @@ def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
     def member(m):
         return high | (m << base_bit) | low
 
+    # batch-start all input DMAs, then wait — transfers overlap (a serial
+    # start+wait per chunk is latency-bound: ~0.3 ms/pass vs the ~80 us
+    # bandwidth floor at 2^24)
+    cps = []
     for m in range(g):
         for q in range(n_planes):
             cp = pltpu.make_async_copy(
                 ins[q].at[pl.ds(member(m) * brows, brows), :],
                 scratch[q].at[pl.ds(m * brows, brows), :], sem)
             cp.start()
-            cp.wait()
+            cps.append(cp)
+    for cp in cps:
+        cp.wait()
 
     sign = jnp.int32(-(1 << 31))
 
@@ -256,13 +262,16 @@ def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
                 scratch[q][pl.ds(m * brows, brows), :] = ya
                 scratch[q][pl.ds(mp * brows, brows), :] = yb
 
+    cps = []
     for m in range(g):
         for q in range(n_planes):
             cp = pltpu.make_async_copy(
                 scratch[q].at[pl.ds(m * brows, brows), :],
                 outs[q].at[pl.ds(member(m) * brows, brows), :], sem)
             cp.start()
-            cp.wait()
+            cps.append(cp)
+    for cp in cps:
+        cp.wait()
 
 
 _SPAN_LOG_BLOCK = 17  # 0.5 MB sub-blocks: 2^c of them stay under VMEM

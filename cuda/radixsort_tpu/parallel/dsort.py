@@ -68,10 +68,27 @@ def _splitter_owner(gh: jnp.ndarray, ndev: int) -> jnp.ndarray:
     mass — the heavy-hitter-aware analogue of even key-range splitting.
     """
     total = jnp.maximum(jnp.sum(gh), 1)
-    # owner of bucket i = floor(ndev * (cumulative mass before midpoint of i) / total)
+    # owner of bucket i = device owning the bucket's mass midpoint
     cum = jnp.cumsum(gh) - gh // 2
-    owner = jnp.clip((cum * ndev) // total, 0, ndev - 1)
-    return owner.astype(jnp.int32)
+    return _dev_of(cum, _dev_boundaries(total, ndev))
+
+
+def _dev_boundaries(total, ndev: int) -> jnp.ndarray:
+    """Sorted-position boundaries of the device ranges: device k owns
+    positions [ceil(k*total/ndev), ceil((k+1)*total/ndev)). Computed without
+    the k*total product so int32 cannot overflow at large row counts."""
+    k = jnp.arange(1, ndev, dtype=jnp.int32)
+    q, r = total // ndev, total % ndev
+    return k * q + (k * r + ndev - 1) // ndev
+
+
+def _dev_of(pos, bounds: jnp.ndarray) -> jnp.ndarray:
+    """Device owning sorted position pos = #boundaries <= pos (== the
+    overflow-free floor(pos*ndev/total), clipped to ndev-1)."""
+    d = jnp.zeros(pos.shape, jnp.int32)
+    for k in range(bounds.shape[0]):
+        d = d + (pos >= bounds[k]).astype(jnp.int32)
+    return d
 
 
 def _make_padded_send(bits, dest, ndev: int, cap: int, sentinel):
@@ -79,7 +96,8 @@ def _make_padded_send(bits, dest, ndev: int, cap: int, sentinel):
 
     Elements are stably grouped by sorting on (dest, position) so the
     per-destination segments preserve bucket order; segment d occupies
-    rows [seg_start[d], seg_start[d]+counts[d]).
+    rows [seg_start[d], seg_start[d]+counts[d]). Rows with dest >= ndev
+    (invalid/padding) sort last and are never picked up.
     """
     s = bits.shape[0]
     pos = jnp.arange(s, dtype=jnp.uint32)
@@ -96,17 +114,113 @@ def _make_padded_send(bits, dest, ndev: int, cap: int, sentinel):
     return send, counts
 
 
-def _route_plan(bits, axis_name: str, ndev: int, sb: int):
+# Heavy-hitter handling (BASELINE.json:5,10): a single key whose mass exceeds
+# ~total/ndev cannot be balanced at bucket granularity — every row of the key
+# lands on the bucket's owner. Since equal keys are interchangeable in a
+# keys-only sort, their rows CAN be split across the contiguous device span
+# the cumulative mass assigns them without breaking the global order.
+#
+# Detection is sample-based (identical on every device): each device
+# contributes a strided sample of its keys, the all_gathered sample's top
+# _HEAVY_SLOTS modes become candidate keys, and candidates are then counted
+# EXACTLY with masked reductions (+ their global sorted position p0 = psum of
+# #keys < candidate). A candidate above total/(2*ndev) mass is spread: its
+# rows go to the device owning their own sorted slot (intra-key rank), and
+# the other rows of its splitter bucket are routed by the midpoint of their
+# own gap interval so the bucket's internal order stays device-monotone.
+_HEAVY_SLOTS = 4
+_SAMPLE_PER_DEV = 256
+
+
+def _route_plan(bits, valid, axis_name: str, ndev: int, sb: int,
+                spread_heavy: bool = True):
     """Shared routing math: splitter histogram -> owner -> per-key dest.
 
-    Returns (dest (S,) uint32, send_counts (ndev,) int32)."""
+    bits: (S,) twiddled key bits; valid: (S,) bool (False rows are global
+    padding — routed to dest == ndev and dropped by the exchange).
+    Returns dest (S,) uint32 in [0, ndev] (ndev == drop)."""
+    nb = 1 << sb
+    s = bits.shape[0]
     top = (bits >> jnp.uint32(32 - sb)).astype(jnp.int32)
-    lh = jnp.zeros((1 << sb,), jnp.int32).at[top].add(1, mode="drop")
+    top_m = jnp.where(valid, top, nb)
+    lh = jnp.zeros((nb,), jnp.int32).at[top_m].add(1, mode="drop")
     gh = jax.lax.psum(lh, axis_name)
     owner = _splitter_owner(gh, ndev)
     dest = owner[top].astype(jnp.uint32)
-    counts = jnp.zeros((ndev,), jnp.int32).at[owner].add(lh)
-    return dest, counts
+
+    if spread_heavy and ndev > 1:
+        total = jnp.maximum(jnp.sum(gh), 1)
+        bounds = _dev_boundaries(total, ndev)
+        cumb = jnp.cumsum(gh) - gh
+
+        # --- candidate discovery: identical global sample on every device ---
+        ks = min(_SAMPLE_PER_DEV, s)
+        stride_idx = (jnp.arange(ks, dtype=jnp.int32) * s) // ks
+        # invalid rows sample as 0 — harmless (candidates are re-counted)
+        samp = jnp.where(
+            jnp.take(valid, stride_idx), jnp.take(bits, stride_idx), 0
+        )
+        gsamp = jax.lax.all_gather(samp, axis_name, tiled=True)  # (ndev*ks,)
+        ssamp = jax.lax.sort([gsamp], num_keys=1, dimension=0)[0]
+        run_start = jnp.concatenate(
+            [jnp.ones((1,), bool), ssamp[1:] != ssamp[:-1]]
+        )
+        pos = jnp.arange(ssamp.shape[0], dtype=jnp.int32)
+        # run length at each start = next run start - own position; the next
+        # start is an exclusive suffix-min of start positions
+        rev = jnp.where(run_start, pos, ssamp.shape[0])[::-1]
+        nxt = jax.lax.cummin(jnp.concatenate(
+            [jnp.array([ssamp.shape[0]], jnp.int32), rev[:-1]]))[::-1]
+        runlen = jnp.where(run_start, nxt - pos, 0)
+        _, cand_pos = jax.lax.top_k(runlen, _HEAVY_SLOTS)
+        cands = jnp.take(ssamp, cand_pos)  # (H,) candidate keys
+
+        # --- exact global count + sorted position of each candidate ---
+        eq = [valid & (bits == cands[i]) for i in range(_HEAVY_SLOTS)]
+        lt = [valid & (bits < cands[i]) for i in range(_HEAVY_SLOTS)]
+        lstats = jnp.stack(
+            [jnp.sum(m.astype(jnp.int32)) for m in eq]
+            + [jnp.sum(m.astype(jnp.int32)) for m in lt]
+        )
+        allc = jax.lax.all_gather(lstats, axis_name)  # (ndev, 2H)
+        my = jax.lax.axis_index(axis_name)
+        before = jnp.arange(ndev, dtype=jnp.int32)[:, None] < my
+        myoff = jnp.sum(jnp.where(before, allc, 0), axis=0)[:_HEAVY_SLOTS]
+        gstat = jnp.sum(allc, axis=0)
+        gcnt = gstat[:_HEAVY_SLOTS]          # global count of candidate
+        gp0 = gstat[_HEAVY_SLOTS:]           # global sorted position
+        heavy = gcnt > (total // (2 * ndev))
+        # dedupe: a key sampled into two slots spreads twice (idempotent),
+        # but only count it once for the gap routing below.
+        for i in range(_HEAVY_SLOTS):
+            for j in range(i):
+                heavy = heavy.at[i].set(
+                    heavy[i] & (cands[i] != cands[j])
+                )
+
+        cbkt = (cands >> jnp.uint32(32 - sb)).astype(jnp.int32)
+        # gap interval of every row in a heavy bucket: start from the whole
+        # bucket, shrink past each heavy candidate in the same bucket
+        in_heavy_bkt = jnp.zeros((s,), bool)
+        lo = jnp.take(cumb, top)
+        hi = lo + jnp.take(gh, top)
+        for i in range(_HEAVY_SLOTS):
+            inb = heavy[i] & (top == cbkt[i])
+            in_heavy_bkt = in_heavy_bkt | inb
+            lo = jnp.where(inb & (bits > cands[i]),
+                           jnp.maximum(lo, gp0[i] + gcnt[i]), lo)
+            hi = jnp.where(inb & (bits < cands[i]),
+                           jnp.minimum(hi, gp0[i]), hi)
+        # rows of one gap share (lo, hi) -> one device; gaps are ordered ->
+        # devices monotone; candidates' own rows are overwritten below
+        gap_dev = _dev_of(lo + (hi - lo) // 2, bounds).astype(dest.dtype)
+        dest = jnp.where(in_heavy_bkt, gap_dev, dest)
+        for i in range(_HEAVY_SLOTS):
+            rank = jnp.cumsum(eq[i].astype(jnp.int32)) - 1 + myoff[i]
+            d = _dev_of(gp0[i] + rank, bounds).astype(dest.dtype)
+            dest = jnp.where(heavy[i] & eq[i], d, dest)
+
+    return jnp.where(valid, dest, jnp.uint32(ndev))
 
 
 def _default_splitter_bits(ndev: int) -> int:
@@ -132,7 +246,10 @@ def exchange_cap_for_sort(keys: jnp.ndarray, *, mesh: Mesh, axis_name: str = "x"
     sb = splitter_bits or _default_splitter_bits(ndev)
 
     def shard_fn(b):
-        _, counts = _route_plan(b.reshape(-1), axis_name, ndev, sb)
+        b = b.reshape(-1)
+        valid = _shard_valid(n, s, axis_name)
+        dest = _route_plan(b, valid, axis_name, ndev, sb)
+        counts = jnp.zeros((ndev,), jnp.int32).at[dest].add(1, mode="drop")
         return jax.lax.pmax(jnp.max(counts), axis_name)
 
     return shard_map(
@@ -161,30 +278,48 @@ def sort_distributed_sized(keys: jnp.ndarray, *, mesh: Mesh,
     return out, counts, cap
 
 
+def _shard_valid(n: int, s: int, axis_name: str) -> jnp.ndarray:
+    """Positional validity of this device's rows: the padded global array has
+    real rows [0, n); shard d holds rows [d*s, (d+1)*s)."""
+    d = jax.lax.axis_index(axis_name)
+    gidx = d.astype(jnp.int32) * s + jnp.arange(s, dtype=jnp.int32)
+    return gidx < n
+
+
 def sort_sharded_bits(bits, axis_name: str, ndev: int, cap: int | None = None,
-                      splitter_bits: int | None = None):
+                      splitter_bits: int | None = None, valid=None):
     """Distributed ascending sort of twiddled key bits. Runs inside shard_map.
 
-    bits: (S,) uint32 local shard of twiddled bits (padded with 0xFFFFFFFF
-    sentinels allowed — they sort to the global tail).
-    Returns (out_padded (ndev*cap,), valid_count ()) per device: device d holds
-    the d-th globally-sorted key range, sentinel-padded at the tail.
+    bits: (S,) uint32 local shard of twiddled bits; valid: optional (S,) bool
+    marking real rows (padding rows are dropped from the exchange — validity
+    is EXPLICIT, never inferred from key values, so keys equal to 0xFFFFFFFF
+    survive; VERDICT r1 data-loss fix).
+    Returns (out_padded (ndev*cap,), valid_count ()) per device: device d
+    holds the d-th globally-sorted key range, pad-filled at the tail (trim
+    with the count — pad fills are the max key, and real max-key rows tie
+    with them, so count-trimming is bit-exact for a keys-only sort).
     """
     s = bits.shape[0]
     cap = s if cap is None else cap
     sb = splitter_bits or _default_splitter_bits(ndev)
     sentinel = jnp.uint32(0xFFFFFFFF)
+    if valid is None:
+        valid = jnp.ones((s,), jnp.bool_)
 
-    dest, _ = _route_plan(bits, axis_name, ndev, sb)
+    dest = _route_plan(bits, valid, axis_name, ndev, sb)
 
-    send, _ = _make_padded_send(bits, dest, ndev, cap, sentinel)
+    send, counts = _make_padded_send(bits, dest, ndev, cap, sentinel)
     recv = jax.lax.all_to_all(
         send, axis_name, split_axis=0, concat_axis=0, tiled=False
     )
-    flat = recv.reshape(-1)
-    out = _local_sort_bits(flat)
-    valid = jnp.sum((flat != sentinel).astype(jnp.int32))
-    return out, valid
+    # explicit counts ride a second (tiny) all_to_all: recv_counts[d] = rows
+    # source d actually sent to me
+    recv_counts = jax.lax.all_to_all(
+        counts.reshape(ndev, 1), axis_name, split_axis=0, concat_axis=0
+    ).reshape(-1)
+    out = _local_sort_bits(recv.reshape(-1))
+    valid_count = jnp.sum(recv_counts)
+    return out, valid_count
 
 
 def make_mesh(n: int | None = None, axis: str = "x") -> Mesh:
@@ -212,7 +347,9 @@ def sort_distributed(keys: jnp.ndarray, *, mesh: Mesh, axis_name: str = "x",
     ccap = cap or s
 
     def shard_fn(b):
-        out, valid = sort_sharded_bits(b.reshape(-1), axis_name, ndev, cap=ccap)
+        out, valid = sort_sharded_bits(
+            b.reshape(-1), axis_name, ndev, cap=ccap,
+            valid=_shard_valid(n, s, axis_name))
         return out, valid.reshape(1)
 
     out, counts = shard_map(

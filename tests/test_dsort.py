@@ -85,3 +85,98 @@ def test_sized_exchange_skewed(mesh):
     out, counts, cap = dsort.sort_distributed_sized(jnp.asarray(keys), mesh=mesh)
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+# ---------------------------------------------------------------------------
+# round-2 adversarial tests (VERDICT r1 #2/#5): sentinel-valued keys must
+# survive the exchange, and a heavy single key must spread across devices.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [1 << 12, 10_000])
+def test_sentinel_keys_survive(mesh, n):
+    # many keys equal u32 max (== the pad fill value) — all must survive
+    rng = np.random.default_rng(33)
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[:: 7] = 0xFFFFFFFF
+    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    assert int(np.asarray(counts).sum()) == n  # exact count, no sentinel loss
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_i32_max_and_nan_patterns(mesh):
+    rng = np.random.default_rng(34)
+    n = 4096
+    i32 = rng.integers(-(2**31), 2**31 - 1, size=n, dtype=np.int64).astype(np.int32)
+    i32[: 64] = np.iinfo(np.int32).max  # twiddles to 0xFFFFFFFF
+    out, counts = dsort.sort_distributed(jnp.asarray(i32), mesh=mesh)
+    assert int(np.asarray(counts).sum()) == n
+    got = dsort.reconstruct_sorted(out, counts, jnp.int32, n)
+    np.testing.assert_array_equal(got, np.sort(i32))
+
+    # +NaN with all-ones payload bits twiddles to 0xFFFFFFFF
+    f32 = rng.standard_normal(n).astype(np.float32)
+    f32[: 64] = np.frombuffer(
+        np.uint32(0x7FFFFFFF).tobytes(), dtype=np.float32
+    )[0]
+    out, counts = dsort.sort_distributed(jnp.asarray(f32), mesh=mesh)
+    got = dsort.reconstruct_sorted(out, counts, jnp.float32, n)
+    np.testing.assert_array_equal(got, np.sort(f32))
+
+
+@pytest.mark.parametrize("n", [NDEV * 100 + 3, (1 << 13) - 1])
+def test_non_divisible_n(mesh, n):
+    rng = np.random.default_rng(35)
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[: 5] = 0xFFFFFFFF  # padding shares the value; counts must not conflate
+    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    assert int(np.asarray(counts).sum()) == n
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_heavy_hitter_balance(mesh):
+    # one key = 70% of mass: per-device row counts must stay within 2x of
+    # the mean (round-1 behavior: the whole key landed on one device)
+    rng = np.random.default_rng(36)
+    n = 1 << 14
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[: int(0.7 * n)] = 0xDEADBEEF
+    rng.shuffle(keys)
+    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))
+    c = np.asarray(counts).astype(np.float64)
+    assert c.max() / c.mean() <= 2.0, c
+
+
+def test_heavy_hitter_pair_balance(mesh):
+    # two heavy keys in DIFFERENT buckets (40% + 40%) + stragglers
+    rng = np.random.default_rng(37)
+    n = 1 << 14
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[: int(0.4 * n)] = 0x10000001
+    keys[int(0.4 * n): int(0.8 * n)] = 0xF0000001
+    rng.shuffle(keys)
+    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))
+    c = np.asarray(counts).astype(np.float64)
+    assert c.max() / c.mean() <= 2.0, c
+
+
+def test_heavy_hitter_with_bucket_stragglers(mesh):
+    # heavy key shares its top-16-bit bucket with LARGER straggler keys:
+    # spreading must keep the global order (interval routing of stragglers)
+    rng = np.random.default_rng(38)
+    n = 1 << 13
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[: int(0.7 * n)] = 0xDEAD0001
+    # stragglers in the same 0xDEAD**** bucket, above and below the heavy key
+    keys[int(0.7 * n): int(0.7 * n) + 32] = 0xDEAD0000
+    keys[int(0.7 * n) + 32: int(0.7 * n) + 64] = 0xDEADFFFF
+    rng.shuffle(keys)
+    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))

@@ -125,3 +125,68 @@ def test_groupby_distributed_sized(mesh):
             got[int(k)] = int(v)
     for k in np.unique(keys):
         assert got[int(k)] == vals[keys == k].sum()
+
+
+# ---------------------------------------------------------------------------
+# round-2 adversarial groupby tests (VERDICT r1 #2): no reserved key values,
+# no divisibility restriction.
+# ---------------------------------------------------------------------------
+
+
+def _check_groupby(mesh, keys, vals, agg):
+    gk, gv, cnt = shuffle.groupby_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), mesh=mesh, agg=agg
+    )
+    gk, gv, cnt = np.asarray(gk), np.asarray(gv), np.asarray(cnt)
+    per = gk.shape[0] // NDEV
+    got = {}
+    for d in range(NDEV):
+        c = cnt[d]
+        for k, v in zip(gk[d * per: d * per + c], gv[d * per: d * per + c]):
+            assert k not in got, "group appears on two devices"
+            got[int(k)] = int(v)
+    uniq = np.unique(keys)
+    assert len(got) == len(uniq)
+    for k in uniq:
+        sel = vals[keys == k]
+        want = {"sum": sel.sum(), "count": len(sel),
+                "min": sel.min(), "max": sel.max()}[agg]
+        assert got[int(k)] == want, (agg, k)
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max"])
+def test_groupby_max_key_not_reserved(mesh, agg):
+    # key 0xFFFFFFFF is a REAL group and must survive with exact aggregates
+    rng = np.random.default_rng(44)
+    n = NDEV * 1024
+    keys = rng.integers(0, 50, size=n).astype(np.uint32)
+    keys[:: 5] = 0xFFFFFFFF
+    vals = rng.integers(-500, 500, size=n).astype(np.int32)
+    _check_groupby(mesh, keys, vals, agg)
+
+
+@pytest.mark.parametrize("n", [NDEV * 300 + 1, NDEV * 1024 - 3, 17])
+def test_groupby_non_divisible(mesh, n):
+    rng = np.random.default_rng(45)
+    keys = rng.integers(0, 40, size=n).astype(np.uint32)
+    vals = rng.integers(-500, 500, size=n).astype(np.int32)
+    _check_groupby(mesh, keys, vals, "sum")
+    _check_groupby(mesh, keys, vals, "count")
+
+
+def test_groupby_non_divisible_sized(mesh):
+    rng = np.random.default_rng(46)
+    n = NDEV * 500 + 7
+    keys = rng.integers(0, 64, size=n).astype(np.uint32)
+    keys[: 9] = 0xFFFFFFFF
+    vals = rng.integers(-500, 500, size=n).astype(np.int32)
+    gk, gv, cnt, cap = shuffle.groupby_distributed_sized(
+        jnp.asarray(keys), jnp.asarray(vals), mesh=mesh, agg="min")
+    gk, gv, cnt = np.asarray(gk), np.asarray(gv), np.asarray(cnt)
+    per = gk.shape[0] // NDEV
+    got = {}
+    for d in range(NDEV):
+        for k, v in zip(gk[d*per:d*per+cnt[d]], gv[d*per:d*per+cnt[d]]):
+            got[int(k)] = int(v)
+    for k in np.unique(keys):
+        assert got[int(k)] == vals[keys == k].min()

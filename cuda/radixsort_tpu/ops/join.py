@@ -59,6 +59,8 @@ def join(
     probe_keys: jnp.ndarray,
     *,
     how: str = "inner",
+    build_valid: jnp.ndarray | None = None,
+    probe_valid: jnp.ndarray | None = None,
     config: config_lib.SortConfig | None = None,
 ):
     """Join probe rows against (unique-key) build rows.
@@ -70,6 +72,10 @@ def join(
                           columns with it — values-follow-keys)
     For how="left", count == len(probe_keys) and unmatched rows carry
     matched-mask False in vals' companion mask (returned as 5th element).
+
+    build_valid / probe_valid: optional bool masks; False rows take part in
+    neither side (they ride the sort as side==2 and never match or emit) —
+    the hook the distributed hash-exchange join uses for its padding rows.
     """
     if how not in ("inner", "left"):
         raise ValueError(how)
@@ -77,9 +83,13 @@ def join(
     nb, np_ = build_keys.shape[0], probe_keys.shape[0]
 
     keys = jnp.concatenate([build_keys, probe_keys])
-    side = jnp.concatenate(
-        [jnp.zeros((nb,), jnp.int32), jnp.ones((np_,), jnp.int32)]
-    )
+    bside = jnp.zeros((nb,), jnp.int32)
+    if build_valid is not None:
+        bside = jnp.where(build_valid, bside, 2)
+    pside = jnp.ones((np_,), jnp.int32)
+    if probe_valid is not None:
+        pside = jnp.where(probe_valid, pside, 2)
+    side = jnp.concatenate([bside, pside])
     vals = jnp.concatenate([build_vals, jnp.zeros((np_,), build_vals.dtype)])
     orig = jnp.concatenate(
         [jnp.zeros((nb,), jnp.int32), jnp.arange(np_, dtype=jnp.int32)]

@@ -238,6 +238,18 @@ def groupby_distributed_sized(
     return gk, gv, cnt, cap
 
 
+def _pad_to(x, size, fill=0):
+    pad = size - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+
+
+def _shard_valid(n: int, s: int, axis_name: str) -> jnp.ndarray:
+    d = jax.lax.axis_index(axis_name)
+    return d.astype(jnp.int32) * s + jnp.arange(s, dtype=jnp.int32) < n
+
+
 @functools.partial(
     jax.jit, static_argnames=("mesh", "axis_name", "config")
 )
@@ -255,20 +267,32 @@ def join_distributed_broadcast(
     skew is irrelevant (no probe movement); scaling is limited only by the
     build broadcast (ICI all_gather).
 
-    Returns per-shard (keys, vals, probe_idx (local), count) concatenated
-    over the mesh axis.
+    Returns per-shard (keys, vals, probe_idx (GLOBAL probe row), count)
+    concatenated over the mesh axis. Row counts need not divide the mesh.
     """
+    ndev = mesh.shape[axis_name]
+    nb, npr = build_keys.shape[0], probe_keys.shape[0]
+    sb, sp = -(-nb // ndev), -(-npr // ndev)
+    build_keys = _pad_to(build_keys, sb * ndev)
+    build_vals = _pad_to(build_vals, sb * ndev)
+    probe_keys = _pad_to(probe_keys, sp * ndev)
 
     def shard_fn(bk, bv, pk):
+        bvalid = _shard_valid(nb, sb, axis_name)
         bk_full = jax.lax.all_gather(bk.reshape(-1), axis_name, tiled=True)
         bv_full = jax.lax.all_gather(bv.reshape(-1), axis_name, tiled=True)
+        bvalid_full = jax.lax.all_gather(bvalid, axis_name, tiled=True)
+        pvalid = _shard_valid(npr, sp, axis_name)
         ok, ov, oi, cnt = local_join(
-            bk_full, bv_full, pk.reshape(-1), how="inner", config=config
+            bk_full, bv_full, pk.reshape(-1), how="inner",
+            build_valid=bvalid_full, probe_valid=pvalid, config=config
         )
+        d = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        og = d * sp + oi  # local -> global probe row
         return (
             ok.reshape(1, -1),
             ov.reshape(1, -1),
-            oi.reshape(1, -1),
+            og.reshape(1, -1),
             cnt.reshape(1, 1),
         )
 
@@ -279,3 +303,154 @@ def join_distributed_broadcast(
         out_specs=(P(axis_name),) * 4,
     )(build_keys, build_vals, probe_keys)
     return ok.reshape(-1), ov.reshape(-1), oi.reshape(-1), cnt.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# hash-exchange join: BOTH sides partitioned by key hash (BASELINE.json:9).
+# The broadcast variant all_gathers the build table per chip — fine for the
+# FK shape (100M build / pod would still be ~400MB/chip), dead for large
+# builds. Here each side's rows are routed to owner = hash(key) % ndev with
+# ONE padded all_to_all per column; each shard then runs the local
+# sort-coalesce join over only its key partition. Probe skew: a heavy probe
+# key hashes to one device, but its matched rows are 1:1 with probe rows, so
+# the output stays proportional to the received probe rows (cap-bounded);
+# build-side uniqueness keeps the build exchange balanced under Zipf probes.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "config")
+)
+def join_exchange_caps(
+    build_keys: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    config: config_lib.SortConfig | None = None,
+):
+    """Phase one of the sized hash join: exact max (src,dst) lane occupancy
+    for the build and probe exchanges (two tiny collectives, no data moved)."""
+    ndev = mesh.shape[axis_name]
+    nb, npr = build_keys.shape[0], probe_keys.shape[0]
+    sb, sp = -(-nb // ndev), -(-npr // ndev)
+    build_keys = _pad_to(build_keys, sb * ndev)
+    probe_keys = _pad_to(probe_keys, sp * ndev)
+
+    def shard_fn(bk, pk):
+        caps = []
+        for keys, n, s in ((bk, nb, sb), (pk, npr, sp)):
+            valid = _shard_valid(n, s, axis_name)
+            dest = jnp.where(
+                valid, _owner_of_keys(keys.reshape(-1), ndev), ndev)
+            counts = jnp.zeros((ndev,), jnp.int32).at[dest].add(
+                1, mode="drop")
+            caps.append(jax.lax.pmax(jnp.max(counts), axis_name))
+        return caps[0], caps[1]
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)), out_specs=(P(), P()),
+    )(build_keys, probe_keys)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "build_cap", "probe_cap", "config"),
+)
+def join_distributed_hash(
+    build_keys: jnp.ndarray,
+    build_vals: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    build_cap: int | None = None,
+    probe_cap: int | None = None,
+    config: config_lib.SortConfig | None = None,
+):
+    """Inner FK join with BOTH sides hash-exchanged over the mesh.
+
+    Returns per-shard (keys, vals, probe_idx (GLOBAL probe row), count)
+    concatenated over the mesh axis; device d emits the matches of the keys
+    hashing to d. Caps default to the full shard size (always correct);
+    use join_distributed_sized for measured tight caps.
+    """
+    ndev = mesh.shape[axis_name]
+    nb, npr = build_keys.shape[0], probe_keys.shape[0]
+    sb, sp = -(-nb // ndev), -(-npr // ndev)
+    build_keys = _pad_to(build_keys, sb * ndev)
+    build_vals = _pad_to(build_vals, sb * ndev)
+    probe_keys = _pad_to(probe_keys, sp * ndev)
+    bcap = build_cap or sb
+    pcap = probe_cap or sp
+
+    def shard_fn(bk, bv, pk):
+        bk, bv, pk = bk.reshape(-1), bv.reshape(-1), pk.reshape(-1)
+        d = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        bvalid = _shard_valid(nb, sb, axis_name)
+        pvalid = _shard_valid(npr, sp, axis_name)
+        destb = jnp.where(bvalid, _owner_of_keys(bk, ndev), ndev)
+        destp = jnp.where(pvalid, _owner_of_keys(pk, ndev), ndev)
+        (rbk, rbv), rbvalid = exchange_rows(
+            [bk, bv], destb, ndev, axis_name, bcap)
+        gpidx = d * sp + jnp.arange(sp, dtype=jnp.int32)
+        (rpk, rpi), rpvalid = exchange_rows(
+            [pk, gpidx], destp, ndev, axis_name, pcap)
+        ok, ov, oi, cnt = local_join(
+            rbk, rbv, rpk, how="inner",
+            build_valid=rbvalid, probe_valid=rpvalid, config=config)
+        og = jnp.take(rpi, oi, axis=0)  # received-row -> global probe row
+        return (
+            ok.reshape(1, -1), ov.reshape(1, -1),
+            og.reshape(1, -1), cnt.reshape(1, 1),
+        )
+
+    ok, ov, oi, cnt = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name),) * 4,
+    )(build_keys, build_vals, probe_keys)
+    return ok.reshape(-1), ov.reshape(-1), oi.reshape(-1), cnt.reshape(-1)
+
+
+def join_distributed_sized(
+    build_keys, build_vals, probe_keys, *,
+    mesh: Mesh, axis_name: str = "x",
+    config: config_lib.SortConfig | None = None,
+):
+    """Two-phase sized hash-exchange join (host-level wrapper): measure both
+    exchanges, round caps to powers of two, run join_distributed_hash.
+    Returns (keys, vals, probe_idx, counts, (build_cap, probe_cap))."""
+    from cuda.radixsort_tpu.parallel.dsort import round_cap
+
+    bcap, pcap = join_exchange_caps(
+        build_keys, probe_keys, mesh=mesh, axis_name=axis_name, config=config)
+    bcap, pcap = round_cap(int(bcap)), round_cap(int(pcap))
+    ok, ov, oi, cnt = join_distributed_hash(
+        build_keys, build_vals, probe_keys, mesh=mesh, axis_name=axis_name,
+        build_cap=bcap, probe_cap=pcap, config=config)
+    return ok, ov, oi, cnt, (bcap, pcap)
+
+
+def join_distributed(
+    build_keys, build_vals, probe_keys, *,
+    mesh: Mesh, axis_name: str = "x",
+    config: config_lib.SortConfig | None = None,
+    broadcast_threshold: int | None = None,
+):
+    """Route a distributed inner join by build-side size: small builds are
+    broadcast (no probe movement — probe skew immaterial), large builds are
+    hash-exchanged (both sides partitioned; the 1B x 100M contract shape).
+    The threshold is the per-chip row count a build broadcast would resident
+    (default 2^20 rows — ~8 MB of key+value columns per chip)."""
+    thresh = broadcast_threshold if broadcast_threshold is not None else 1 << 20
+    if build_keys.shape[0] <= thresh:
+        return join_distributed_broadcast(
+            build_keys, build_vals, probe_keys,
+            mesh=mesh, axis_name=axis_name, config=config)
+    ok, ov, oi, cnt, _ = join_distributed_sized(
+        build_keys, build_vals, probe_keys,
+        mesh=mesh, axis_name=axis_name, config=config)
+    return ok, ov, oi, cnt

@@ -384,3 +384,53 @@ def sort_bits_bitonic(bits: jnp.ndarray, *, log_tile: int = 16,
     return sort_planes_bitonic(
         [bits], n_cmp=1, log_tile=log_tile, log_merge=log_merge,
         interpret=interpret)[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("log_block", "n_cmp", "log_merge",
+                                    "interpret"))
+def merge_sorted_planes_bitonic(planes, *, log_block: int, n_cmp: int = 1,
+                                log_merge: int | None = None,
+                                interpret: bool = False):
+    """Merge 2^(logn-log_block) pre-sorted blocks into one sorted sequence.
+
+    Each 2^log_block block must already be sorted ASCENDING when its block
+    index is even and DESCENDING when odd (the bitonic alternating invariant
+    — sort odd blocks on complemented comparison bits to get this). Runs
+    only the network levels log_block+1 .. logn: merging R blocks costs
+    ~log(R)*logn stages instead of the full ~logn^2/2 — the compute the
+    round-based exchange hides behind its transfers stays hidden.
+    """
+    planes = list(planes)
+    n = planes[0].shape[0]
+    logn = n.bit_length() - 1
+    assert n == (1 << logn), "power-of-two input required"
+    assert log_block <= logn
+    if log_merge is None:
+        log_merge = 21 if logn >= 26 else 20
+    with jax.enable_x64(False):
+        return _merge_planes_impl(planes, logn, log_block, n_cmp,
+                                  min(16, log_block), log_merge, interpret)
+
+
+def _merge_planes_impl(planes, logn, log_block, n_cmp, log_tile, log_merge,
+                       interpret):
+    n_planes = len(planes)
+    log_merge = max(min(log_merge, logn), log_tile)
+    rows_per_block = 1 << (max(log_merge, LOG_LANES) - LOG_LANES)
+    nrows = (1 << logn) // LANES
+    xs = [p.reshape(nrows, LANES) for p in planes]
+    c_max = max(1, 5 - (n_planes - 1).bit_length())
+    for k in range(log_block + 1, logn + 1):
+        if k > log_merge:
+            log_s = k - 1
+            while log_s >= log_merge:
+                c = min(c_max, log_s - log_merge + 1)
+                xs = _cross_span_pallas(xs, k, log_s, log_s - c + 1,
+                                        n_cmp, interpret)
+                log_s -= c
+        xs = _as_list(_tile_call(
+            functools.partial(_tile_merge_body, log_merge, k, n_planes,
+                              n_cmp),
+            n_planes, nrows, rows_per_block, interpret)(*xs))
+    return [x.reshape(-1) for x in xs]

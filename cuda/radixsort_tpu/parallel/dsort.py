@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuda.radixsort_tpu import twiddle
 from cuda.radixsort_tpu import config as config_lib
+from cuda.radixsort_tpu.parallel import stats as stats_lib
 
 try:  # jax>=0.8 top-level; older releases kept it in experimental
     from jax import shard_map  # type: ignore
@@ -270,12 +271,12 @@ def sort_distributed_sized(keys: jnp.ndarray, *, mesh: Mesh,
     pass), then run sort_distributed with the tight static cap.
 
     Host-level wrapper (two jit calls by design — XLA shapes are static).
-    Returns (padded_sorted, valid_counts, cap)."""
+    Returns (padded_sorted, valid_counts, cap, stats)."""
     cap = round_cap(int(exchange_cap_for_sort(
         keys, mesh=mesh, axis_name=axis_name, descending=descending)))
-    out, counts = sort_distributed(
+    out, counts, st = sort_distributed(
         keys, mesh=mesh, axis_name=axis_name, cap=cap, descending=descending)
-    return out, counts, cap
+    return out, counts, cap, st
 
 
 def _shard_valid(n: int, s: int, axis_name: str) -> jnp.ndarray:
@@ -286,8 +287,35 @@ def _shard_valid(n: int, s: int, axis_name: str) -> jnp.ndarray:
     return gidx < n
 
 
+def _sort_chunk_bits(chunk: jnp.ndarray, desc_block: bool) -> jnp.ndarray:
+    """Sort one received round-chunk (power-of-two length), ascending or
+    descending — the alternating direction the bitonic merge tail needs."""
+    if config_lib.default_backend() == "tpu":
+        from cuda.radixsort_tpu.kernels.bitonic import sort_bits_bitonic
+
+        if desc_block:
+            return ~sort_bits_bitonic(~chunk)
+        return sort_bits_bitonic(chunk)
+    s = jax.lax.sort([chunk], num_keys=1, dimension=0)[0]
+    return s[::-1] if desc_block else s
+
+
+def _merge_round_chunks(chunks: list[jnp.ndarray]) -> jnp.ndarray:
+    """Merge alternating-direction sorted chunks into one ascending array."""
+    cat = jnp.concatenate(chunks)
+    if config_lib.default_backend() == "tpu":
+        from cuda.radixsort_tpu.kernels.bitonic import (
+            merge_sorted_planes_bitonic,
+        )
+
+        lb = chunks[0].shape[0].bit_length() - 1
+        return merge_sorted_planes_bitonic([cat], log_block=lb, n_cmp=1)[0]
+    return jax.lax.sort([cat], num_keys=1, dimension=0)[0]
+
+
 def sort_sharded_bits(bits, axis_name: str, ndev: int, cap: int | None = None,
-                      splitter_bits: int | None = None, valid=None):
+                      splitter_bits: int | None = None, valid=None,
+                      rounds: int = 1):
     """Distributed ascending sort of twiddled key bits. Runs inside shard_map.
 
     bits: (S,) uint32 local shard of twiddled bits; valid: optional (S,) bool
@@ -297,7 +325,14 @@ def sort_sharded_bits(bits, axis_name: str, ndev: int, cap: int | None = None,
     Returns (out_padded (ndev*cap,), valid_count ()) per device: device d
     holds the d-th globally-sorted key range, pad-filled at the tail (trim
     with the count — pad fills are the max key, and real max-key rows tie
-    with them, so count-trimming is bit-exact for a keys-only sort).
+    with them, so count-trimming is bit-exact for a keys-only sort). The
+    third return is this shard's (ndev,) send counts (stats plumbing).
+
+    rounds > 1 (power of two) splits the exchange into that many sub-lane
+    rounds: round k+1's all_to_all is issued BEFORE round k's chunk sort in
+    the graph, so XLA's async collectives overlap transfer with local sort
+    compute (BASELINE.json:5,11 double-buffered exchange); the pre-sorted
+    alternating-direction chunks then need only the bitonic merge tail.
     """
     s = bits.shape[0]
     cap = s if cap is None else cap
@@ -308,18 +343,49 @@ def sort_sharded_bits(bits, axis_name: str, ndev: int, cap: int | None = None,
 
     dest = _route_plan(bits, valid, axis_name, ndev, sb)
 
+    if rounds > 1:
+        assert rounds & (rounds - 1) == 0, "rounds must be a power of two"
+        cap_r = -(-cap // rounds)
+        cap = cap_r * rounds
     send, counts = _make_padded_send(bits, dest, ndev, cap, sentinel)
-    recv = jax.lax.all_to_all(
-        send, axis_name, split_axis=0, concat_axis=0, tiled=False
-    )
-    # explicit counts ride a second (tiny) all_to_all: recv_counts[d] = rows
-    # source d actually sent to me
+    # explicit counts ride a tiny all_to_all: recv_counts[d] = rows source d
+    # actually sent to me
     recv_counts = jax.lax.all_to_all(
         counts.reshape(ndev, 1), axis_name, split_axis=0, concat_axis=0
     ).reshape(-1)
-    out = _local_sort_bits(recv.reshape(-1))
     valid_count = jnp.sum(recv_counts)
-    return out, valid_count
+
+    if rounds == 1:
+        recv = jax.lax.all_to_all(
+            send, axis_name, split_axis=0, concat_axis=0, tiled=False
+        )
+        out = _local_sort_bits(recv.reshape(-1))
+        return out, valid_count, counts
+
+    # round-based double-buffered exchange: chunk length padded to a power
+    # of two so the merge tail is a plain bitonic suffix
+    cl = 1 << max((ndev * cap_r - 1).bit_length(), 10)
+
+    def exchange_round(r):
+        sub = jax.lax.slice_in_dim(send, r * cap_r, (r + 1) * cap_r, axis=1)
+        recv = jax.lax.all_to_all(
+            sub, axis_name, split_axis=0, concat_axis=0, tiled=False
+        ).reshape(-1)
+        if cl != recv.shape[0]:
+            recv = jnp.concatenate(
+                [recv, jnp.full((cl - recv.shape[0],), sentinel, jnp.uint32)]
+            )
+        return recv
+
+    chunks = []
+    prev = exchange_round(0)
+    for r in range(1, rounds):
+        nxt = exchange_round(r)  # issued before prev's sort consumes data
+        chunks.append(_sort_chunk_bits(prev, desc_block=bool((r - 1) & 1)))
+        prev = nxt
+    chunks.append(_sort_chunk_bits(prev, desc_block=bool((rounds - 1) & 1)))
+    out = _merge_round_chunks(chunks)
+    return out, valid_count, counts
 
 
 def make_mesh(n: int | None = None, axis: str = "x") -> Mesh:
@@ -327,10 +393,13 @@ def make_mesh(n: int | None = None, axis: str = "x") -> Mesh:
     return jax.make_mesh((n,), (axis,))
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis_name", "cap", "descending"))
+@functools.partial(jax.jit, static_argnames=("mesh", "axis_name", "cap",
+                                             "descending", "rounds"))
 def sort_distributed(keys: jnp.ndarray, *, mesh: Mesh, axis_name: str = "x",
-                     cap: int | None = None, descending: bool = False):
-    """Globally sort a sharded key array. Returns (padded_sorted, valid_counts).
+                     cap: int | None = None, descending: bool = False,
+                     rounds: int = 1):
+    """Globally sort a sharded key array.
+    Returns (padded_sorted, valid_counts, exchange_stats).
 
     padded_sorted: (ndev * percap * ndev,) sharded on the mesh axis — device d
     holds the d-th key range (ascending), sentinel-padded. valid_counts: (ndev,)
@@ -347,21 +416,24 @@ def sort_distributed(keys: jnp.ndarray, *, mesh: Mesh, axis_name: str = "x",
     ccap = cap or s
 
     def shard_fn(b):
-        out, valid = sort_sharded_bits(
+        out, valid, send_counts = sort_sharded_bits(
             b.reshape(-1), axis_name, ndev, cap=ccap,
-            valid=_shard_valid(n, s, axis_name))
-        return out, valid.reshape(1)
+            valid=_shard_valid(n, s, axis_name), rounds=rounds)
+        st = stats_lib.shard_stats(
+            send_counts, valid, ccap, ndev, axis_name, bytes_per_row=4)
+        return out, valid.reshape(1), st
 
-    out, counts = shard_map(
+    out, counts, st = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=P(axis_name),
-        out_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name),
+                   stats_lib.stats_out_specs(axis_name)),
         # pallas_call out_shapes carry no vma annotation; skip the check
         # (outputs are per-shard by construction)
         check_vma=False,
     )(bits)
-    return out, counts
+    return out, counts, st
 
 
 def reconstruct_sorted(out, counts, dtype, n, descending: bool = False):

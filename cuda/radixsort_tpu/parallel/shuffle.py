@@ -31,6 +31,7 @@ from cuda.radixsort_tpu import config as config_lib
 from cuda.radixsort_tpu.ops.aggregate import groupby as local_groupby
 from cuda.radixsort_tpu.ops.join import join as local_join
 from cuda.radixsort_tpu.ops.partition import hash32
+from cuda.radixsort_tpu.parallel import stats as stats_lib
 
 try:
     from jax import shard_map
@@ -110,9 +111,11 @@ def groupby_distributed(
     """Distributed group-by over sharded rows. Two-phase: local partial
     aggregate -> hash exchange of partials -> local final aggregate.
 
-    Returns (group_keys, aggregates, count) per shard, concatenated over the
-    mesh axis: device d holds the groups whose key-hash routes to d; rows
-    [0, count_d) of its slice are valid.
+    Returns (group_keys, aggregates, count, stats) per shard, concatenated
+    over the mesh axis: device d holds the groups whose key-hash routes to d;
+    rows [0, count_d) of its slice are valid. stats.rows_in counts the
+    PARTIAL group rows entering the exchange (raw rows never move — that is
+    the point of the two-phase design).
     """
     if agg not in ("sum", "count", "min", "max"):
         raise ValueError(agg)
@@ -158,15 +161,21 @@ def groupby_distributed(
         has_invalid = jnp.any(~rvalid)
         has_real_max = jnp.any(rvalid & (rku == sent))
         c2 = c2 - jnp.where(has_invalid & ~has_real_max, 1, 0)
-        return g2k.reshape(1, -1), g2v.reshape(1, -1), c2.reshape(1, 1)
+        send_counts = jnp.zeros((ndev,), jnp.int32).at[dest].add(
+            1, mode="drop")
+        st = stats_lib.shard_stats(
+            send_counts, c2, ccap, ndev, axis_name,
+            bytes_per_row=4 + values.dtype.itemsize)
+        return g2k.reshape(1, -1), g2v.reshape(1, -1), c2.reshape(1, 1), st
 
-    gk, gv, cnt = shard_map(
+    gk, gv, cnt, st = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name),
+                   stats_lib.stats_out_specs(axis_name)),
     )(keys, values)
-    return gk.reshape(-1), gv.reshape(-1), cnt.reshape(-1)
+    return gk.reshape(-1), gv.reshape(-1), cnt.reshape(-1), st
 
 
 @functools.partial(
@@ -227,15 +236,15 @@ def groupby_distributed_sized(
     """Two-phase sized distributed groupby: measure the partials exchange,
     then run groupby_distributed with the tight static cap (rounded to a
     power of two — bounded compile variants). Host-level wrapper; returns
-    (group_keys, aggregates, counts, cap)."""
+    (group_keys, aggregates, counts, cap, stats)."""
     from cuda.radixsort_tpu.parallel.dsort import round_cap
 
     cap = round_cap(int(groupby_exchange_cap(
         keys, values, mesh=mesh, axis_name=axis_name, agg=agg, config=config)))
-    gk, gv, cnt = groupby_distributed(
+    gk, gv, cnt, st = groupby_distributed(
         keys, values, mesh=mesh, axis_name=axis_name, agg=agg, cap=cap,
         config=config)
-    return gk, gv, cnt, cap
+    return gk, gv, cnt, cap, st
 
 
 def _pad_to(x, size, fill=0):
@@ -267,8 +276,9 @@ def join_distributed_broadcast(
     skew is irrelevant (no probe movement); scaling is limited only by the
     build broadcast (ICI all_gather).
 
-    Returns per-shard (keys, vals, probe_idx (GLOBAL probe row), count)
-    concatenated over the mesh axis. Row counts need not divide the mesh.
+    Returns per-shard (keys, vals, probe_idx (GLOBAL probe row), count,
+    stats) concatenated over the mesh axis. Row counts need not divide the
+    mesh.
     """
     ndev = mesh.shape[axis_name]
     nb, npr = build_keys.shape[0], probe_keys.shape[0]
@@ -289,20 +299,25 @@ def join_distributed_broadcast(
         )
         d = jax.lax.axis_index(axis_name).astype(jnp.int32)
         og = d * sp + oi  # local -> global probe row
+        # broadcast wire cost: this shard's build slice goes to every peer
+        st = stats_lib.shard_stats(
+            None, cnt, sb, ndev, axis_name,
+            bytes_per_row=4 + build_vals.dtype.itemsize)
         return (
             ok.reshape(1, -1),
             ov.reshape(1, -1),
             og.reshape(1, -1),
             cnt.reshape(1, 1),
+            st,
         )
 
-    ok, ov, oi, cnt = shard_map(
+    ok, ov, oi, cnt, st = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name),) * 4,
+        out_specs=(P(axis_name),) * 4 + (stats_lib.stats_out_specs(axis_name),),
     )(build_keys, build_vals, probe_keys)
-    return ok.reshape(-1), ov.reshape(-1), oi.reshape(-1), cnt.reshape(-1)
+    return ok.reshape(-1), ov.reshape(-1), oi.reshape(-1), cnt.reshape(-1), st
 
 
 # ---------------------------------------------------------------------------
@@ -371,10 +386,10 @@ def join_distributed_hash(
 ):
     """Inner FK join with BOTH sides hash-exchanged over the mesh.
 
-    Returns per-shard (keys, vals, probe_idx (GLOBAL probe row), count)
-    concatenated over the mesh axis; device d emits the matches of the keys
-    hashing to d. Caps default to the full shard size (always correct);
-    use join_distributed_sized for measured tight caps.
+    Returns per-shard (keys, vals, probe_idx (GLOBAL probe row), count,
+    stats) concatenated over the mesh axis; device d emits the matches of
+    the keys hashing to d. Caps default to the full shard size (always
+    correct); use join_distributed_sized for measured tight caps.
     """
     ndev = mesh.shape[axis_name]
     nb, npr = build_keys.shape[0], probe_keys.shape[0]
@@ -401,18 +416,25 @@ def join_distributed_hash(
             rbk, rbv, rpk, how="inner",
             build_valid=rbvalid, probe_valid=rpvalid, config=config)
         og = jnp.take(rpi, oi, axis=0)  # received-row -> global probe row
+        send_counts = (
+            jnp.zeros((ndev,), jnp.int32).at[destb].add(1, mode="drop")
+            + jnp.zeros((ndev,), jnp.int32).at[destp].add(1, mode="drop"))
+        # both exchanges move (key + 4-byte companion) columns; caps differ,
+        # report the padded wire total via the combined row budget
+        st = stats_lib.shard_stats(
+            send_counts, cnt, bcap + pcap, ndev, axis_name, bytes_per_row=8)
         return (
             ok.reshape(1, -1), ov.reshape(1, -1),
-            og.reshape(1, -1), cnt.reshape(1, 1),
+            og.reshape(1, -1), cnt.reshape(1, 1), st,
         )
 
-    ok, ov, oi, cnt = shard_map(
+    ok, ov, oi, cnt, st = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name),) * 4,
+        out_specs=(P(axis_name),) * 4 + (stats_lib.stats_out_specs(axis_name),),
     )(build_keys, build_vals, probe_keys)
-    return ok.reshape(-1), ov.reshape(-1), oi.reshape(-1), cnt.reshape(-1)
+    return ok.reshape(-1), ov.reshape(-1), oi.reshape(-1), cnt.reshape(-1), st
 
 
 def join_distributed_sized(
@@ -422,16 +444,16 @@ def join_distributed_sized(
 ):
     """Two-phase sized hash-exchange join (host-level wrapper): measure both
     exchanges, round caps to powers of two, run join_distributed_hash.
-    Returns (keys, vals, probe_idx, counts, (build_cap, probe_cap))."""
+    Returns (keys, vals, probe_idx, counts, (build_cap, probe_cap), stats)."""
     from cuda.radixsort_tpu.parallel.dsort import round_cap
 
     bcap, pcap = join_exchange_caps(
         build_keys, probe_keys, mesh=mesh, axis_name=axis_name, config=config)
     bcap, pcap = round_cap(int(bcap)), round_cap(int(pcap))
-    ok, ov, oi, cnt = join_distributed_hash(
+    ok, ov, oi, cnt, st = join_distributed_hash(
         build_keys, build_vals, probe_keys, mesh=mesh, axis_name=axis_name,
         build_cap=bcap, probe_cap=pcap, config=config)
-    return ok, ov, oi, cnt, (bcap, pcap)
+    return ok, ov, oi, cnt, (bcap, pcap), st
 
 
 def join_distributed(
@@ -450,7 +472,7 @@ def join_distributed(
         return join_distributed_broadcast(
             build_keys, build_vals, probe_keys,
             mesh=mesh, axis_name=axis_name, config=config)
-    ok, ov, oi, cnt, _ = join_distributed_sized(
+    ok, ov, oi, cnt, _, st = join_distributed_sized(
         build_keys, build_vals, probe_keys,
         mesh=mesh, axis_name=axis_name, config=config)
-    return ok, ov, oi, cnt
+    return ok, ov, oi, cnt, st

@@ -150,6 +150,46 @@ def main():
         except Exception as e:
             print(json.dumps({"config": "pipelined_query", "error": str(e)[:120]}))
 
+    # 6. distributed operator stats (SURVEY §5 observability): run the
+    #    exchange ops over whatever mesh exists (ndev==1 on the single chip;
+    #    the CPU-8 harness exercises the real balance numbers) and print
+    #    each op's ExchangeStats line.
+    if wanted("dist_stats"):
+        from cuda.radixsort_tpu.parallel import dsort, shuffle
+        from cuda.radixsort_tpu.parallel.stats import describe
+
+        ndev = len(jax.devices())
+        mesh = dsort.make_mesh(ndev)
+        n = ndev * (1 << (14 if SMALL else 18))
+        rng = np.random.default_rng(2)
+        keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+        keys[: n // 3] = 0xABCD1234  # skewed
+        t0 = time.time()
+        out, counts, st = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+        jax.block_until_ready(out)
+        report("dist_sort_skewed", n, time.time() - t0,
+               {"ndev": ndev, "stats": describe(st)})
+
+        gk_, gv_, cnt_, cap_, gst = shuffle.groupby_distributed_sized(
+            jnp.asarray(keys),
+            jnp.asarray(rng.integers(-99, 99, size=n).astype(np.int32)),
+            mesh=mesh, agg="sum")
+        jax.block_until_ready(gv_)
+        report("dist_groupby_sized", n, 1e-9,
+               {"ndev": ndev, "stats": describe(gst)})
+
+        nb_, npr_ = ndev * 4096, n
+        bk_ = rng.permutation(np.arange(2 * nb_, dtype=np.uint32))[:nb_]
+        ok, ov, oi, jcnt, caps, jst = shuffle.join_distributed_sized(
+            jnp.asarray(bk_),
+            jnp.asarray(rng.integers(0, 2**31, size=nb_).astype(np.int32)),
+            jnp.asarray(rng.choice(np.arange(2 * nb_, dtype=np.uint32),
+                                   size=npr_)),
+            mesh=mesh)
+        jax.block_until_ready(ok)
+        report("dist_join_hash_sized", npr_, 1e-9,
+               {"ndev": ndev, "caps": list(caps), "stats": describe(jst)})
+
 
 if __name__ == "__main__":
     main()

@@ -98,3 +98,45 @@ def test_segmented_bitonic():
     for s in range(len(offsets) - 1):
         want[offsets[s]:offsets[s + 1]] = np.sort(k[offsets[s]:offsets[s + 1]])
     np.testing.assert_array_equal(got, want)
+
+
+def test_merge_sorted_blocks_interpret():
+    # merge tail only: alternating-direction sorted blocks -> full sort
+    from cuda.radixsort_tpu.kernels.bitonic import merge_sorted_planes_bitonic
+    import numpy as np
+
+    rng = np.random.default_rng(71)
+    logn, log_block = 13, 11
+    x = rng.integers(0, 2**32, size=1 << logn, dtype=np.uint32)
+    blocks = x.reshape(-1, 1 << log_block).copy()
+    for i in range(blocks.shape[0]):
+        blocks[i] = np.sort(blocks[i])
+        if i & 1:
+            blocks[i] = blocks[i][::-1]
+    out = merge_sorted_planes_bitonic(
+        [jnp.asarray(blocks.reshape(-1))], log_block=log_block,
+        interpret=True)[0]
+    np.testing.assert_array_equal(np.asarray(out), np.sort(x))
+
+
+def test_merge_sorted_blocks_two_planes_interpret():
+    from cuda.radixsort_tpu.kernels.bitonic import merge_sorted_planes_bitonic
+    import numpy as np
+
+    rng = np.random.default_rng(72)
+    logn, log_block = 12, 10
+    k = rng.integers(0, 1 << 8, size=1 << logn, dtype=np.uint32)
+    v = np.arange(1 << logn, dtype=np.uint32)
+    kb = k.reshape(-1, 1 << log_block)
+    vb = v.reshape(-1, 1 << log_block)
+    for i in range(kb.shape[0]):
+        o = np.lexsort((vb[i], kb[i]))
+        if i & 1:
+            o = o[::-1]
+        kb[i], vb[i] = kb[i][o], vb[i][o]
+    ok, ov = merge_sorted_planes_bitonic(
+        [jnp.asarray(kb.reshape(-1)), jnp.asarray(vb.reshape(-1))],
+        log_block=log_block, n_cmp=2, interpret=True)
+    o = np.lexsort((v, k))
+    np.testing.assert_array_equal(np.asarray(ok), k[o])
+    np.testing.assert_array_equal(np.asarray(ov), v[o])

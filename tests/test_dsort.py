@@ -19,7 +19,7 @@ def mesh():
 def test_uniform_u32(mesh, n):
     rng = np.random.default_rng(n)
     keys = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
-    out, counts = dsort.sort_distributed(keys, mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(keys, mesh=mesh)
     assert int(np.asarray(counts).sum()) >= n  # sentinels padded input
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(np.asarray(keys)))
@@ -32,7 +32,7 @@ def test_skewed_heavy_hitter(mesh):
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
     keys[: int(0.7 * n)] = 0xDEADBEEF
     rng.shuffle(keys)
-    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(keys))
 
@@ -41,12 +41,12 @@ def test_signed_and_float(mesh):
     rng = np.random.default_rng(3)
     n = 4096
     i32 = rng.integers(-(2**31), 2**31 - 1, size=n, dtype=np.int64).astype(np.int32)
-    out, counts = dsort.sort_distributed(jnp.asarray(i32), mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(jnp.asarray(i32), mesh=mesh)
     got = dsort.reconstruct_sorted(out, counts, jnp.int32, n)
     np.testing.assert_array_equal(got, np.sort(i32))
 
     f32 = rng.standard_normal(n).astype(np.float32)
-    out, counts = dsort.sort_distributed(jnp.asarray(f32), mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(jnp.asarray(f32), mesh=mesh)
     got = dsort.reconstruct_sorted(out, counts, jnp.float32, n)
     np.testing.assert_array_equal(got, np.sort(f32))
 
@@ -55,7 +55,7 @@ def test_descending(mesh):
     rng = np.random.default_rng(5)
     n = 4096
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
-    out, counts = dsort.sort_distributed(
+    out, counts, _st = dsort.sort_distributed(
         jnp.asarray(keys), mesh=mesh, descending=True
     )
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n, descending=True)
@@ -67,7 +67,7 @@ def test_sized_exchange(mesh):
     rng = np.random.default_rng(21)
     n = 1 << 14
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
-    out, counts, cap = dsort.sort_distributed_sized(jnp.asarray(keys), mesh=mesh)
+    out, counts, cap, _st = dsort.sort_distributed_sized(jnp.asarray(keys), mesh=mesh)
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(keys))
     s = n // NDEV
@@ -82,7 +82,7 @@ def test_sized_exchange_skewed(mesh):
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
     keys[: int(0.7 * n)] = 0xDEADBEEF
     rng.shuffle(keys)
-    out, counts, cap = dsort.sort_distributed_sized(jnp.asarray(keys), mesh=mesh)
+    out, counts, cap, _st = dsort.sort_distributed_sized(jnp.asarray(keys), mesh=mesh)
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(keys))
 
@@ -99,7 +99,7 @@ def test_sentinel_keys_survive(mesh, n):
     rng = np.random.default_rng(33)
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
     keys[:: 7] = 0xFFFFFFFF
-    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
     assert int(np.asarray(counts).sum()) == n  # exact count, no sentinel loss
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(keys))
@@ -110,7 +110,7 @@ def test_i32_max_and_nan_patterns(mesh):
     n = 4096
     i32 = rng.integers(-(2**31), 2**31 - 1, size=n, dtype=np.int64).astype(np.int32)
     i32[: 64] = np.iinfo(np.int32).max  # twiddles to 0xFFFFFFFF
-    out, counts = dsort.sort_distributed(jnp.asarray(i32), mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(jnp.asarray(i32), mesh=mesh)
     assert int(np.asarray(counts).sum()) == n
     got = dsort.reconstruct_sorted(out, counts, jnp.int32, n)
     np.testing.assert_array_equal(got, np.sort(i32))
@@ -120,7 +120,7 @@ def test_i32_max_and_nan_patterns(mesh):
     f32[: 64] = np.frombuffer(
         np.uint32(0x7FFFFFFF).tobytes(), dtype=np.float32
     )[0]
-    out, counts = dsort.sort_distributed(jnp.asarray(f32), mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(jnp.asarray(f32), mesh=mesh)
     got = dsort.reconstruct_sorted(out, counts, jnp.float32, n)
     np.testing.assert_array_equal(got, np.sort(f32))
 
@@ -130,7 +130,7 @@ def test_non_divisible_n(mesh, n):
     rng = np.random.default_rng(35)
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
     keys[: 5] = 0xFFFFFFFF  # padding shares the value; counts must not conflate
-    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
     assert int(np.asarray(counts).sum()) == n
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(keys))
@@ -144,11 +144,16 @@ def test_heavy_hitter_balance(mesh):
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
     keys[: int(0.7 * n)] = 0xDEADBEEF
     rng.shuffle(keys)
-    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(keys))
     c = np.asarray(counts).astype(np.float64)
     assert c.max() / c.mean() <= 2.0, c
+    # stats pytree agrees with the observed balance
+    assert float(_st.skew) <= 2.0
+    np.testing.assert_array_equal(np.asarray(_st.rows_out), np.asarray(counts))
+    assert int(np.asarray(_st.rows_in).sum()) == n
+    assert 0.0 < float(_st.cap_utilization) <= 1.0
 
 
 def test_heavy_hitter_pair_balance(mesh):
@@ -159,7 +164,7 @@ def test_heavy_hitter_pair_balance(mesh):
     keys[: int(0.4 * n)] = 0x10000001
     keys[int(0.4 * n): int(0.8 * n)] = 0xF0000001
     rng.shuffle(keys)
-    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(keys))
     c = np.asarray(counts).astype(np.float64)
@@ -177,6 +182,34 @@ def test_heavy_hitter_with_bucket_stragglers(mesh):
     keys[int(0.7 * n): int(0.7 * n) + 32] = 0xDEAD0000
     keys[int(0.7 * n) + 32: int(0.7 * n) + 64] = 0xDEADFFFF
     rng.shuffle(keys)
-    out, counts = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    out, counts, _st = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@pytest.mark.parametrize("rounds", [2, 4])
+def test_round_based_exchange(mesh, rounds):
+    # double-buffered exchange rounds: same result, any round count
+    rng = np.random.default_rng(60 + rounds)
+    n = 1 << 14
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[:: 11] = 0xFFFFFFFF
+    out, counts, st = dsort.sort_distributed(
+        jnp.asarray(keys), mesh=mesh, rounds=rounds)
+    assert int(np.asarray(counts).sum()) == n
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_round_based_exchange_sized_skewed(mesh):
+    rng = np.random.default_rng(65)
+    n = (1 << 14) - 5
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[: n // 2] = 0x1234ABCD
+    rng.shuffle(keys)
+    cap = dsort.round_cap(int(dsort.exchange_cap_for_sort(
+        jnp.asarray(keys), mesh=mesh)))
+    out, counts, st = dsort.sort_distributed(
+        jnp.asarray(keys), mesh=mesh, cap=cap, rounds=4)
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(keys))

@@ -24,7 +24,7 @@ def test_groupby_distributed_zipf(mesh, agg):
                     rng.integers(0, 300, size=n)).astype(np.uint32)
     vals = rng.integers(-500, 500, size=n).astype(np.int32)
 
-    gk, gv, cnt = shuffle.groupby_distributed(
+    gk, gv, cnt, _st = shuffle.groupby_distributed(
         jnp.asarray(keys), jnp.asarray(vals), mesh=mesh, agg=agg
     )
     gk, gv, cnt = np.asarray(gk), np.asarray(gv), np.asarray(cnt)
@@ -53,7 +53,7 @@ def test_join_distributed_broadcast(mesh):
     pk = rng.choice(np.arange(4 * nb, dtype=np.uint32), size=npr)
     lut = dict(zip(bk.tolist(), bv.tolist()))
 
-    ok, ov, oi, cnt = shuffle.join_distributed_broadcast(
+    ok, ov, oi, cnt, _st = shuffle.join_distributed_broadcast(
         jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), mesh=mesh
     )
     ok, ov, oi, cnt = [np.asarray(x) for x in (ok, ov, oi, cnt)]
@@ -111,7 +111,7 @@ def test_groupby_distributed_sized(mesh):
     keys = np.where(rng.random(n) < 0.6, 42,
                     rng.integers(0, 300, size=n)).astype(np.uint32)
     vals = rng.integers(-500, 500, size=n).astype(np.int32)
-    gk, gv, cnt, cap = shuffle.groupby_distributed_sized(
+    gk, gv, cnt, cap, _st = shuffle.groupby_distributed_sized(
         jnp.asarray(keys), jnp.asarray(vals), mesh=mesh, agg="sum")
     assert cap < n // NDEV  # ~300 distinct keys: far below the default cap
     gk, gv, cnt = np.asarray(gk), np.asarray(gv), np.asarray(cnt)
@@ -132,7 +132,7 @@ def test_groupby_distributed_sized(mesh):
 
 
 def _check_groupby(mesh, keys, vals, agg):
-    gk, gv, cnt = shuffle.groupby_distributed(
+    gk, gv, cnt, _st = shuffle.groupby_distributed(
         jnp.asarray(keys), jnp.asarray(vals), mesh=mesh, agg=agg
     )
     gk, gv, cnt = np.asarray(gk), np.asarray(gv), np.asarray(cnt)
@@ -178,7 +178,7 @@ def test_groupby_non_divisible_sized(mesh):
     keys = rng.integers(0, 64, size=n).astype(np.uint32)
     keys[: 9] = 0xFFFFFFFF
     vals = rng.integers(-500, 500, size=n).astype(np.int32)
-    gk, gv, cnt, cap = shuffle.groupby_distributed_sized(
+    gk, gv, cnt, cap, _st = shuffle.groupby_distributed_sized(
         jnp.asarray(keys), jnp.asarray(vals), mesh=mesh, agg="min")
     gk, gv, cnt = np.asarray(gk), np.asarray(gv), np.asarray(cnt)
     per = gk.shape[0] // NDEV
@@ -222,7 +222,7 @@ def test_join_distributed_hash(mesh, nb, npr):
     bk = rng.permutation(np.arange(4 * nb, dtype=np.uint32))[:nb]
     bv = rng.integers(0, 2**31, size=nb).astype(np.int32)
     pk = rng.choice(np.arange(4 * nb, dtype=np.uint32), size=npr)
-    ok, ov, oi, cnt = shuffle.join_distributed_hash(
+    ok, ov, oi, cnt, _st = shuffle.join_distributed_hash(
         jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), mesh=mesh)
     assert _collect_join(ok, ov, oi, cnt, pk) == _join_oracle(bk, bv, pk)
 
@@ -237,7 +237,7 @@ def test_join_distributed_hash_skewed_probe(mesh):
     pk = np.where(rng.random(npr) < 0.6, hot,
                   rng.choice(np.arange(2 * nb, dtype=np.uint32), size=npr))
     pk = pk.astype(np.uint32)
-    ok, ov, oi, cnt = shuffle.join_distributed_hash(
+    ok, ov, oi, cnt, _st = shuffle.join_distributed_hash(
         jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), mesh=mesh)
     assert _collect_join(ok, ov, oi, cnt, pk) == _join_oracle(bk, bv, pk)
 
@@ -249,7 +249,7 @@ def test_join_distributed_hash_duplicate_builds(mesh):
     bk = rng.integers(0, 100, size=nb).astype(np.uint32)
     bv = np.arange(nb, dtype=np.int32)
     pk = rng.integers(0, 200, size=npr).astype(np.uint32)
-    ok, ov, oi, cnt = shuffle.join_distributed_hash(
+    ok, ov, oi, cnt, _st = shuffle.join_distributed_hash(
         jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), mesh=mesh)
     lut = {}
     for k, v in zip(bk.tolist(), bv.tolist()):
@@ -265,7 +265,7 @@ def test_join_distributed_sized(mesh):
     bk = rng.permutation(np.arange(2 * nb, dtype=np.uint32))[:nb]
     bv = rng.integers(0, 2**31, size=nb).astype(np.int32)
     pk = rng.choice(np.arange(2 * nb, dtype=np.uint32), size=npr)
-    ok, ov, oi, cnt, (bcap, pcap) = shuffle.join_distributed_sized(
+    ok, ov, oi, cnt, (bcap, pcap), _st = shuffle.join_distributed_sized(
         jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), mesh=mesh)
     assert _collect_join(ok, ov, oi, cnt, pk) == _join_oracle(bk, bv, pk)
     # balanced hash: caps well below the ndev*shard worst case
@@ -280,7 +280,7 @@ def test_join_distributed_router(mesh):
     pk = rng.choice(np.arange(2 * nb, dtype=np.uint32), size=npr)
     want = _join_oracle(bk, bv, pk)
     for thresh in (0, 10**9):  # force hash path, then broadcast path
-        ok, ov, oi, cnt = shuffle.join_distributed(
+        ok, ov, oi, cnt, _st = shuffle.join_distributed(
             jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), mesh=mesh,
             broadcast_threshold=thresh)
         assert _collect_join(ok, ov, oi, cnt, pk) == want

@@ -5,6 +5,17 @@ which selects radix bits, block geometry and rank/scan algorithms per SM arch).
 Here a small frozen dataclass, resolved at trace time, plays that role: digit
 width, tile geometry (rows x 128 lanes), engine selection and per-TPU-generation
 presets. Everything is static so the whole pipeline stays jit-compilable.
+
+Knob -> kernel mapping (the policy hub is real: every field changes a
+compiled kernel variant):
+  * radix_bits: Pallas stage digit width. <=3 -> 2-bit stages (ONE packed
+    counter word, ~2.5x cheaper per stage — wins for 1-2-stage partition
+    ops); >=4 -> 4-bit stages (the full-sort sweet spot; wider digits do
+    not pay — the in-row packed 8-bit counter fields top out at 16
+    buckets). The pure-jnp reference engine honors any width.
+  * stage_rows: Pallas stage-kernel tile rows.
+  * log_tile / log_merge: bitonic network geometry (kernels/bitonic.py).
+  * tile_rows: reference-engine (oracle) tile geometry.
 """
 
 from __future__ import annotations
@@ -38,6 +49,14 @@ class SortConfig:
     tile_rows: int = 64
     engine: str = "auto"
     interpret: bool = False
+    # Pallas stage-kernel tile rows (tile = stage_rows * 128 keys). 256 is
+    # the measured v5e sweet spot; smaller tiles trade VPU work for more
+    # grid steps (useful on smaller inputs / interpret-mode CI).
+    stage_rows: int = 256
+    # Bitonic engine geometry (None = measured per-size auto): sort-kernel
+    # tile log2 and merge-kernel block log2 (kernels/bitonic.py).
+    log_tile: int | None = None
+    log_merge: int | None = None
 
     @property
     def num_bins(self) -> int:

@@ -61,15 +61,18 @@ def _cmpex(x, partner, dirhi):
 
 
 def _cmpex_planes(planes, partners, dirhi, n_cmp: int):
-    """Compare-exchange a plane set. planes[0] is the key; planes[1] is a
-    lexicographic tiebreak when n_cmp == 2 (an index plane makes the network
-    STABLE — (key, index) is a total order, so ties never swap); remaining
-    planes ride the same exchange mask (payloads)."""
+    """Compare-exchange a plane set. The first n_cmp planes compare
+    lexicographically (make the last of them an index plane and the network
+    is STABLE — a total order never swaps ties); remaining planes ride the
+    same exchange mask (payloads)."""
     if len(planes) == 1:
         return [_cmpex(planes[0], partners[0], dirhi)]
     lt = planes[0] < partners[0]
-    if n_cmp >= 2:
-        lt = lt | ((planes[0] == partners[0]) & (planes[1] < partners[1]))
+    eq = None
+    for i in range(1, min(n_cmp, len(planes))):
+        eq = (planes[i - 1] == partners[i - 1]) if eq is None else (
+            eq & (planes[i - 1] == partners[i - 1]))
+        lt = lt | (eq & (planes[i] < partners[i]))
     take_partner = jnp.logical_xor(lt, jnp.logical_not(dirhi))
     return [jnp.where(take_partner, p, x) for x, p in zip(planes, partners)]
 
@@ -157,6 +160,86 @@ def _tile_sort_body(log_tile: int, n_planes: int, n_cmp: int, *refs):
     _store_planes(outs, planes, n_cmp)
 
 
+# --- fori-compact stage bodies -------------------------------------------
+# The fully-unrolled bodies above emit ~log_tile^2/2 stages of Mosaic code;
+# at 3+ planes the program size kills compilation (round-1: 3-plane lt=16
+# failed, lt=14 required). These variants roll each level's stride loop into
+# fori_loops with TRACED strides (dynamic lane-XOR gather / dynamic
+# sublane rotate both lower in Mosaic) — program size drops from O(lt^2) to
+# O(lt) at a small per-stage overhead. Selected for n_planes >= 3
+# (sort_planes_bitonic compact='auto').
+
+
+def _stage_dyn_lane(planes, log_s, desc, n_cmp: int):
+    """One lane stage of TRACED stride 2^log_s (log_s < LOG_LANES)."""
+    shape = planes[0].shape
+    s = jax.lax.shift_left(jnp.int32(1), log_s)
+    idx = _lane_iota(shape) ^ s
+    partners = [jnp.take_along_axis(x, idx, axis=-1) for x in planes]
+    hi = (_lane_iota(shape) & s) != 0
+    return tuple(_cmpex_planes(list(planes), partners,
+                               jnp.logical_xor(hi, desc), n_cmp))
+
+
+def _stage_dyn_row(planes, log_rs, desc, n_cmp: int):
+    """One sublane stage of TRACED row stride 2^log_rs."""
+    shape = planes[0].shape
+    r = shape[0]
+    rs = jax.lax.shift_left(jnp.int32(1), log_rs)
+    hi = (_row_iota(shape) & rs) != 0
+    partners = [
+        jnp.where(hi,
+                  pltpu.roll(x, shift=rs, axis=0),
+                  pltpu.roll(x, shift=jnp.int32(r) - rs, axis=0))
+        for x in planes
+    ]
+    return tuple(_cmpex_planes(list(planes), partners,
+                               jnp.logical_xor(hi, desc), n_cmp))
+
+
+def _level_compact(planes, k: int, log_block: int, tile_desc, n_cmp: int):
+    """All strides of global level k (min(k, log_block)-1 .. 0) as two
+    fori_loops (row strides, then lane strides) with traced strides — no
+    lax.cond (Mosaic predicates conds by evaluating both sides)."""
+    desc = _desc_mask(planes[0].shape, k, log_block, tile_desc)
+    nst = min(k, log_block)
+    nrow = max(nst - LOG_LANES, 0)
+    if nrow > 0:
+        def rbody(i, ps):
+            return _stage_dyn_row(ps, jnp.int32(nst - 1 - LOG_LANES) - i,
+                                  desc, n_cmp)
+        planes = jax.lax.fori_loop(0, nrow, rbody, tuple(planes))
+    nlane = min(nst, LOG_LANES)
+
+    def lbody(i, ps):
+        return _stage_dyn_lane(ps, jnp.int32(nlane - 1) - i, desc, n_cmp)
+
+    return list(jax.lax.fori_loop(0, nlane, lbody, tuple(planes)))
+
+
+def _tile_sort_body_compact(log_tile: int, n_planes: int, n_cmp: int, *refs):
+    ins, outs = refs[:n_planes], refs[n_planes:]
+    t = pl.program_id(0)
+    planes = _load_planes(ins, n_cmp)
+    tile_desc = (t & 1) == 1
+    for k in range(1, log_tile + 1):
+        planes = _level_compact(planes, k, log_tile, tile_desc, n_cmp)
+    _store_planes(outs, planes, n_cmp)
+
+
+def _tile_merge_body_compact(log_block: int, k: int, n_planes: int,
+                             n_cmp: int, *refs):
+    ins, outs = refs[:n_planes], refs[n_planes:]
+    t = pl.program_id(0)
+    planes = _load_planes(ins, n_cmp)
+    if k >= log_block:
+        tile_desc = ((t >> (k - log_block)) & 1) == 1
+    else:
+        tile_desc = False
+    planes = _level_compact(planes, k, log_block, tile_desc, n_cmp)
+    _store_planes(outs, planes, n_cmp)
+
+
 def _tile_merge_body(log_block: int, k: int, n_planes: int, n_cmp: int, *refs):
     """Finish global level k inside one block: strides min(k,block)/2 .. 1.
 
@@ -177,7 +260,8 @@ def _tile_merge_body(log_block: int, k: int, n_planes: int, n_cmp: int, *refs):
 
 # v5e VMEM is 128 MiB; the default scoped limit (16 MiB) is too small for
 # big merge blocks whose unrolled stages keep several live tile copies.
-_VMEM_LIMIT = 100 * 1024 * 1024
+# The full 128 MiB: 3-plane lm=20 merges need ~128M scoped (measured r2).
+_VMEM_LIMIT = 128 * 1024 * 1024
 
 
 def _tile_call(body, n_planes: int, nrows: int, rows_per_tile: int,
@@ -200,6 +284,123 @@ def _tile_call(body, n_planes: int, nrows: int, rows_per_tile: int,
 
 
 def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
+                     brows: int, n_planes: int, n_cmp: int, *refs):
+    """Manual-DMA butterfly: c consecutive cross stages in ONE HBM round
+    trip. Each grid step owns a group of 2^c blocks (those connected by the
+    c strides), stages them through VMEM, compare-exchanges slot pairs, and
+    writes every member back — N read + N write for c stages, vs 3N per
+    stage for the single-stage pair kernel.
+
+    DOUBLE-BUFFERED across grid steps (VERDICT r1 #1a): scratch holds two
+    slots; step p waits step p-1's writeback, prefetches step p+1's input,
+    then computes on the input prefetched at step p-1 — DMA in/out overlap
+    the butterfly compute instead of serializing with it. Member sets of
+    different grid steps partition the rows, so the in-place aliasing stays
+    hazard-free.
+    """
+    ins = refs[:n_planes]
+    outs = refs[n_planes:2 * n_planes]
+    scratch = refs[2 * n_planes:3 * n_planes]   # (2*g*brows, 128) each
+    insem, outsem = refs[3 * n_planes], refs[3 * n_planes + 1]
+    g = 1 << c
+    p = pl.program_id(0)
+    nt = pl.num_programs(0)
+    slot = jax.lax.rem(p, 2)
+    other = 1 - slot
+
+    def member(step, m):
+        low = step & ((1 << base_bit) - 1) if base_bit else 0
+        high = (step >> base_bit) << (base_bit + c)
+        return high | (m << base_bit) | low
+
+    # per-SLOT semaphores: in(p) and in(p+1) are in flight simultaneously,
+    # so they must not share a semaphore — a shared one lets step p's wait
+    # be satisfied by step p+1's completions and compute reads a
+    # half-transferred slot (hardware-only data race; interpret mode
+    # executes DMAs eagerly and never sees it)
+    def in_copies(step, slt):
+        cps = []
+        for m in range(g):
+            for q in range(n_planes):
+                cps.append(pltpu.make_async_copy(
+                    ins[q].at[pl.ds(member(step, m) * brows, brows), :],
+                    scratch[q].at[pl.ds((slt * g + m) * brows, brows), :],
+                    insem.at[slt]))
+        return cps
+
+    def out_copies(step, slt):
+        cps = []
+        for m in range(g):
+            for q in range(n_planes):
+                cps.append(pltpu.make_async_copy(
+                    scratch[q].at[pl.ds((slt * g + m) * brows, brows), :],
+                    outs[q].at[pl.ds(member(step, m) * brows, brows), :],
+                    outsem.at[slt]))
+        return cps
+
+    # step 0 prefetches itself (prologue)
+    @pl.when(p == 0)
+    def _():
+        for cp in in_copies(p, slot):
+            cp.start()
+
+    # reclaim the other slot: wait for step p-1's writeback before
+    # prefetching step p+1 into it (sems persist across sequential steps)
+    @pl.when(p > 0)
+    def _():
+        for cp in out_copies(p - 1, other):
+            cp.wait()
+
+    @pl.when(p + 1 < nt)
+    def _():
+        for cp in in_copies(p + 1, other):
+            cp.start()
+
+    # wait for this step's input (started at step p-1, or just above for 0)
+    for cp in in_copies(p, slot):
+        cp.wait()
+
+    sign = jnp.int32(-(1 << 31))
+
+    def slot_ref(q, m):
+        return scratch[q][pl.ds((slot * g + m) * brows, brows), :]
+
+    for j in range(c - 1, -1, -1):  # descending strides: bit j of m-space
+        for m in range(g):
+            if m & (1 << j):
+                continue
+            mp = m | (1 << j)
+            a_desc = ((member(p, m) >> (k - log_block)) & 1) == 1
+            planes_a, planes_b = [], []
+            for q in range(n_planes):
+                xa, xb = slot_ref(q, m), slot_ref(q, mp)
+                if q < n_cmp:
+                    xa = jax.lax.bitcast_convert_type(xa, jnp.int32) ^ sign
+                    xb = jax.lax.bitcast_convert_type(xb, jnp.int32) ^ sign
+                planes_a.append(xa)
+                planes_b.append(xb)
+            lo_side = _cmpex_planes(planes_a, planes_b, a_desc, n_cmp)
+            hi_side = _cmpex_planes(planes_b, planes_a,
+                                    jnp.logical_not(a_desc), n_cmp)
+            for q in range(n_planes):
+                ya, yb = lo_side[q], hi_side[q]
+                if q < n_cmp:
+                    ya = jax.lax.bitcast_convert_type(ya ^ sign, _U32)
+                    yb = jax.lax.bitcast_convert_type(yb ^ sign, _U32)
+                scratch[q][pl.ds((slot * g + m) * brows, brows), :] = ya
+                scratch[q][pl.ds((slot * g + mp) * brows, brows), :] = yb
+
+    for cp in out_copies(p, slot):
+        cp.start()
+
+    # epilogue: drain the final writeback
+    @pl.when(p == nt - 1)
+    def _():
+        for cp in out_copies(p, slot):
+            cp.wait()
+
+
+def _cross_span_body_sb(c: int, k: int, log_block: int, base_bit: int,
                      brows: int, n_planes: int, n_cmp: int, *refs):
     """Manual-DMA butterfly: c consecutive cross stages in ONE HBM round
     trip. Each grid step owns a group of 2^c blocks (those connected by the
@@ -274,7 +475,7 @@ def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
         cp.wait()
 
 
-_SPAN_LOG_BLOCK = 17  # 0.5 MB sub-blocks: 2^c of them stay under VMEM
+_SPAN_LOG_BLOCK = 17  # 0.5 MB sub-blocks: 2x2^c of them stay under VMEM
 
 
 def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
@@ -291,16 +492,26 @@ def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
     nblocks = nrows // brows
     g = 1 << c
 
+    import os
+    # DB doubles the span program size; at 3+ planes that overflows the
+    # Mosaic compiler (measured round 2) — those networks take the
+    # single-buffered body (spans are a small share of multi-plane sorts).
+    double_buf = (os.environ.get("RS_SPAN_DB", "1") == "1"
+                  and n_planes <= 2)
+    body = _cross_span_body if double_buf else _cross_span_body_sb
+    nslots = 2 if double_buf else 1
+    sems = ([pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+            if double_buf else [pltpu.SemaphoreType.DMA])
     out = pl.pallas_call(
-        functools.partial(_cross_span_body, c, k, log_block, base_bit,
+        functools.partial(body, c, k, log_block, base_bit,
                           brows, n_planes, n_cmp),
         grid=(nblocks // g,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
         out_shape=[jax.ShapeDtypeStruct((nrows, LANES), _U32)] * n_planes,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
-        scratch_shapes=[pltpu.VMEM((g * brows, LANES), _U32)
+        scratch_shapes=[pltpu.VMEM((nslots * g * brows, LANES), _U32)
                         for _ in range(n_planes)]
-        + [pltpu.SemaphoreType.DMA],
+        + sems,
         input_output_aliases={i: i for i in range(n_planes)},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
@@ -315,9 +526,10 @@ def _as_list(out):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_cmp", "log_tile", "log_merge",
-                                    "interpret"))
+                                    "compact", "interpret"))
 def sort_planes_bitonic(planes, *, n_cmp: int = 1, log_tile: int = 16,
                         log_merge: int | None = None,
+                        compact: bool | None = None,
                         interpret: bool = False):
     """Ascending bitonic sort of parallel (N,) uint32 plane columns by
     plane[0] (tiebroken by plane[1] when n_cmp == 2 — pass an index plane
@@ -335,26 +547,41 @@ def sort_planes_bitonic(planes, *, n_cmp: int = 1, log_tile: int = 16,
     assert n == (1 << logn), "power-of-two input required (pad upstream)"
     if log_merge is None:
         # measured sweet spots: 2^20 blocks up to ~2^25, 2^21 above (cross
-        # stages dominate at large N; 2^22 blocks fail to compile)
-        log_merge = 21 if logn >= 26 else 20
+        # stages dominate at large N; 2^22 blocks fail to compile). The
+        # merge block's VMEM footprint scales with plane count: 1-plane
+        # takes 2^21 at big N, 2 planes cap at 2^20, 3+ planes at 2^19
+        # (lm=20 x 3 planes OOMs scoped VMEM at k>=22 — measured r2).
+        if len(planes) >= 4:
+            log_merge = 19
+        elif logn >= 26 and len(planes) == 1:
+            log_merge = 21
+        else:
+            log_merge = 20
+    if compact is None:
+        # compact bodies measured ~5x SLOWER on hardware (dynamic-stride
+        # gathers/rotates lose Mosaic's static-shuffle patterns — NOTES r2);
+        # they stay available for program-size-constrained configs only
+        compact = False
     # Everything here is u32/i32; trace with x64 off so literals in index
     # maps / scalar carries don't become i64 (Mosaic rejects 64-bit scalars).
     with jax.enable_x64(False):
         return _sort_planes_impl(planes, n_planes, logn, n_cmp, log_tile,
-                                 log_merge, interpret)
+                                 log_merge, compact, interpret)
 
 
 def _sort_planes_impl(planes, n_planes, logn, n_cmp, log_tile, log_merge,
-                      interpret):
+                      compact, interpret):
     log_tile = min(log_tile, logn)
     log_merge = max(min(log_merge, logn), log_tile)
     rows_per_tile = 1 << (log_tile - LOG_LANES)
     rows_per_block = 1 << (log_merge - LOG_LANES)
     nrows = (1 << logn) // LANES
+    sort_body = _tile_sort_body_compact if compact else _tile_sort_body
+    merge_body = _tile_merge_body_compact if compact else _tile_merge_body
 
     xs = [p.reshape(nrows, LANES) for p in planes]
     xs = _as_list(_tile_call(
-        functools.partial(_tile_sort_body, log_tile, n_planes, n_cmp),
+        functools.partial(sort_body, log_tile, n_planes, n_cmp),
         n_planes, nrows, rows_per_tile, interpret)(*xs))
     # grouped-span width: 2^c sub-blocks of 0.5 MB per plane must fit VMEM
     c_max = max(1, 5 - (n_planes - 1).bit_length())
@@ -370,7 +597,7 @@ def _sort_planes_impl(planes, n_planes, logn, n_cmp, log_tile, log_merge,
                                         n_cmp, interpret)
                 log_s -= c
         xs = _as_list(_tile_call(
-            functools.partial(_tile_merge_body, log_merge, k, n_planes,
+            functools.partial(merge_body, log_merge, k, n_planes,
                               n_cmp),
             n_planes, nrows, rows_per_block, interpret)(*xs))
     return [x.reshape(-1) for x in xs]

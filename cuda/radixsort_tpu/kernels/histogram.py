@@ -28,25 +28,28 @@ _I32 = jnp.int32
 _U32 = jnp.uint32
 
 
-def _hist_kernel(n_stages: int, x_ref, o_ref, acc_ref):
+def _hist_kernel(n_stages: int, width: int, x_ref, o_ref, acc_ref):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
+    nb = 1 << width
+    # pad the stage axis to a sublane multiple (8) for the VMEM tiles
+    srows = -(-n_stages // 8) * 8
 
     @pl.when(t == 0)
     def _():
-        acc_ref[...] = jnp.zeros((NSTAGES, 128), _I32)
+        acc_ref[...] = jnp.zeros((srows, 128), _I32)
 
     x = x_ref[...]
-    lane = jax.lax.broadcasted_iota(_I32, (NSTAGES, 128), 1)
+    lane = jax.lax.broadcasted_iota(_I32, (srows, 128), 1)
     rows = []
     for s in range(n_stages):
-        d = ((x >> _U32(4 * s)) & _U32(15)).astype(_I32)
-        cnt = [jnp.sum((d == b).astype(_I32)) for b in range(NB)]
+        d = ((x >> _U32(width * s)) & _U32(nb - 1)).astype(_I32)
+        cnt = [jnp.sum((d == b).astype(_I32)) for b in range(nb)]
         row = jnp.zeros((1, 128), _I32)
-        for b in range(NB):
+        for b in range(nb):
             row = jnp.where(lane[0:1, :] == b, cnt[b], row)
         rows.append(row)
-    for s in range(n_stages, NSTAGES):
+    for s in range(n_stages, srows):
         rows.append(jnp.zeros((1, 128), _I32))
     acc_ref[...] = acc_ref[...] + jnp.concatenate(rows, axis=0)
 
@@ -55,24 +58,28 @@ def _hist_kernel(n_stages: int, x_ref, o_ref, acc_ref):
         o_ref[...] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("n_stages", "interpret"))
-def digit_histograms(keys: jnp.ndarray, *, n_stages: int = 8,
+@functools.partial(jax.jit, static_argnames=("n_stages", "width", "interpret"))
+def digit_histograms(keys: jnp.ndarray, *, n_stages: int = 8, width: int = 4,
                      interpret: bool = False) -> jnp.ndarray:
-    """(N,128) uint32 keys -> (8, 16) int32 histogram of each 4-bit digit."""
+    """(N,128) uint32 keys -> (n_stages, 2^width) int32 histogram of each
+    width-bit digit position (stage s = bits [width*s, width*(s+1)))."""
     nrows = keys.shape[0]
-    assert nrows % ROWS == 0
+    # grid tile: largest power-of-two row block <= ROWS dividing the input
+    # (stage_rows variants produce inputs that are not multiples of 256)
+    hrows = next(h for h in (256, 128, 64, 32, 16, 8) if nrows % h == 0)
+    srows = -(-n_stages // 8) * 8
     out = pl.pallas_call(
-        functools.partial(_hist_kernel, n_stages),
-        grid=(nrows // ROWS,),
-        in_specs=[pl.BlockSpec((ROWS, 128), lambda t: (t, 0),
+        functools.partial(_hist_kernel, n_stages, width),
+        grid=(nrows // hrows,),
+        in_specs=[pl.BlockSpec((hrows, 128), lambda t: (t, 0),
                                memory_space=pltpu.VMEM)],
-        out_shape=jax.ShapeDtypeStruct((NSTAGES, 128), _I32),
+        out_shape=jax.ShapeDtypeStruct((srows, 128), _I32),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((NSTAGES, 128), _I32)],
+        scratch_shapes=[pltpu.VMEM((srows, 128), _I32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(keys)
-    return out[:, :NB]
+    return out[:n_stages, : 1 << width]
 
 
 def stage_bases(hist: jnp.ndarray) -> jnp.ndarray:

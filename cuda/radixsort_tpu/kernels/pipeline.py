@@ -19,23 +19,32 @@ ROWS = stage_lib.ROWS
 TILE = ROWS * 128
 
 
+def stage_width(cfg) -> int:
+    """Digit width of the Pallas stage pipeline from SortConfig.radix_bits:
+    2-bit stages for radix_bits <= 3, else 4-bit (wider digits do not pay on
+    this VPU — the in-row machinery's packed 8-bit fields top out at 16
+    buckets; the policy clamp is documented in config.py)."""
+    return 2 if cfg.radix_bits <= 3 else 4
+
+
+def tile_elems(cfg) -> int:
+    """Stage-kernel tile size in elements for this config."""
+    return cfg.stage_rows * 128
+
+
 def _to_planes(col: jnp.ndarray, nrows: int) -> jnp.ndarray:
     return col.reshape(nrows, 128)
 
 
-def _stages_for(begin: int, end: int) -> list[int]:
-    """4-bit stage shifts covering bit range [begin, end), LSD order.
+def _stages_for(begin: int, end: int, width: int) -> list[int]:
+    """Stage shifts covering bit range [begin, end), LSD order.
 
-    Stages are aligned to 4-bit boundaries; out-of-range bits are masked by
-    histogram/partition of the digit value only when fully covered — for
-    partial nibbles we widen to the containing nibble (correct because the
-    extra bits are constant... they are NOT constant; so instead we require
-    callers to pass nibble-aligned ranges and pre-mask otherwise — see
-    sort_limbs_pallas).
+    Stages are aligned to width-bit boundaries; callers pass aligned ranges
+    or pre-mask (see sort_limbs_pallas).
     """
-    lo = begin // 4
-    hi = -(-end // 4)
-    return [4 * s for s in range(lo, hi)]
+    lo = begin // width
+    hi = -(-end // width)
+    return [width * s for s in range(lo, hi)]
 
 
 def sort_limbs_pallas(limbs, limb_bits, payloads, cfg):
@@ -48,8 +57,10 @@ def sort_limbs_pallas(limbs, limb_bits, payloads, cfg):
     original as a payload (CUB begin_bit/end_bit semantics).
     """
     interpret = bool(cfg.interpret)
+    width = stage_width(cfg)
+    rows = cfg.stage_rows
     n = limbs[0].shape[0]
-    assert n % TILE == 0, n
+    assert n % (rows * 128) == 0, n
     nrows = n // 128
 
     planes = [ _to_planes(c, nrows) for c in limbs ]
@@ -60,7 +71,7 @@ def sort_limbs_pallas(limbs, limb_bits, payloads, cfg):
         begin, end = limb_bits[k]
         if begin >= end:
             continue
-        aligned = (begin % 4 == 0) and (end % 4 == 0)
+        aligned = (begin % width == 0) and (end % width == 0)
         if aligned:
             key_plane = planes[k]
             extra = []
@@ -71,15 +82,16 @@ def sort_limbs_pallas(limbs, limb_bits, payloads, cfg):
         others = [planes[i] for i in range(len(planes)) if i != k] + extra
 
         hists = hist_lib.digit_histograms(
-            key_plane, n_stages=-(-end // 4), interpret=interpret
+            key_plane, n_stages=-(-end // width), width=width,
+            interpret=interpret
         )
         bases = hist_lib.stage_bases(hists)
         all_planes = [key_plane] + others + pay_planes
-        for shift in _stages_for(begin if aligned else 4 * (begin // 4),
-                                 end):
+        for shift in _stages_for(
+                begin if aligned else width * (begin // width), end, width):
             out = stage_lib.partition_stage(
-                all_planes, bases[shift // 4], shift=shift,
-                interpret=interpret,
+                all_planes, bases[shift // width], shift=shift, width=width,
+                rows=rows, interpret=interpret,
             )
             all_planes = out
 

@@ -37,11 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuda.radixsort_tpu.kernels import tiles
 
-ROWS = 256              # tile rows; tile = ROWS*128 elements
+ROWS = 256              # default tile rows; tile = ROWS*128 elements
 W = 24                  # staging window rows per append chunk
 CHUNK = (W - 1) * 128   # elements per append chunk (needs <= W staging rows)
 SROWS = 80              # staging rows per bucket (head row + <=56 fill + slack)
-NB = tiles.NB
+NB = tiles.NB           # default buckets (4-bit digits)
 _I32 = jnp.int32
 _U32 = jnp.uint32
 
@@ -56,8 +56,10 @@ def _matmul(m: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _stage_kernel(shift: int, n_planes: int, total_rows: int, gb_ref, *refs):
+def _stage_kernel(shift: int, nb: int, rows: int, n_planes: int,
+                  total_rows: int, gb_ref, *refs):
     """Kernel body. refs = planes(in) + planes(out) + scratches."""
+    NB, ROWS = nb, rows
     ins = refs[:n_planes]
     outs = refs[n_planes : 2 * n_planes]
     stg = refs[2 * n_planes : 3 * n_planes]      # per-plane staging VMEM
@@ -76,9 +78,9 @@ def _stage_kernel(shift: int, n_planes: int, total_rows: int, gb_ref, *refs):
 
     keys = ins[0][...]
     planes = [r[...] for r in ins]
-    d = ((keys >> _U32(shift)) & _U32(15)).astype(_I32)
-    sorted_planes, bidx, tot, rb, ss = tiles.inrow_sort(d, planes)
-    sc, scexcl, tiletot = tiles.bucket_count_table(tot, ROWS)
+    d = ((keys >> _U32(shift)) & _U32(nb - 1)).astype(_I32)
+    sorted_planes, bidx, tot, rb, ss = tiles.inrow_sort(d, planes, nb)
+    sc, scexcl, tiletot = tiles.bucket_count_table(tot, ROWS, nb)
 
     lane = jax.lax.broadcasted_iota(_I32, (ROWS, 128), 1)
     qiota = jax.lax.broadcasted_iota(_I32, (W, ROWS), 0)
@@ -226,37 +228,42 @@ def _stage_kernel(shift: int, n_planes: int, total_rows: int, gb_ref, *refs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shift", "interpret")
+    jax.jit, static_argnames=("shift", "width", "rows", "interpret")
 )
-def partition_stage(planes, gbase, *, shift: int, interpret: bool = False):
-    """One stable 4-bit counting pass over HBM-resident planes.
+def partition_stage(planes, gbase, *, shift: int, width: int = 4,
+                    rows: int = ROWS, interpret: bool = False):
+    """One stable `width`-bit counting pass over HBM-resident planes.
 
     planes: list of (N, 128)-shaped uint32 arrays (keys first; payloads follow
-    the same permutation). N must be a multiple of ROWS. gbase: (16,) int32
-    exclusive global bucket bases of digit (key >> shift) & 15.
+    the same permutation). N must be a multiple of `rows`. gbase: (2^width,)
+    int32 exclusive global bucket bases of digit (key >> shift) & (2^width-1).
+    width (2 or 4 — the policy-hub digit knob, CUB tuning_radix_sort.cuh
+    policy analogue) and rows (tile rows) come from SortConfig.
     Returns the permuted planes.
     """
+    assert width in (2, 4), width
+    nb = 1 << width
     planes = list(planes)
     n_planes = len(planes)
     nrows = planes[0].shape[0]
-    assert nrows % ROWS == 0, nrows
-    nt = nrows // ROWS
+    assert nrows % rows == 0, nrows
+    nt = nrows // rows
 
-    grid_in_specs = [pl.BlockSpec((NB, 1), lambda t: (0, 0),
+    grid_in_specs = [pl.BlockSpec((nb, 1), lambda t: (0, 0),
                                   memory_space=pltpu.SMEM)]
     grid_in_specs += [
-        pl.BlockSpec((ROWS, 128), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((rows, 128), lambda t: (t, 0), memory_space=pltpu.VMEM)
         for _ in range(n_planes)
     ]
     out_shapes = [jax.ShapeDtypeStruct((nrows, 128), _U32)] * n_planes
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
     scratch = (
-        [pltpu.VMEM((NB * SROWS, 128), _U32) for _ in range(n_planes)]
-        + [pltpu.SMEM((NB,), _I32), pltpu.SMEM((NB,), _I32)]
+        [pltpu.VMEM((nb * SROWS, 128), _U32) for _ in range(n_planes)]
+        + [pltpu.SMEM((nb,), _I32), pltpu.SMEM((nb,), _I32)]
         + [pltpu.VMEM((1, 128), _U32), pltpu.SemaphoreType.DMA]
     )
 
-    kern = functools.partial(_stage_kernel, shift, n_planes, nrows)
+    kern = functools.partial(_stage_kernel, shift, nb, rows, n_planes, nrows)
     out = pl.pallas_call(
         kern,
         grid=(nt,),
@@ -266,5 +273,5 @@ def partition_stage(planes, gbase, *, shift: int, interpret: bool = False):
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(gbase.reshape(NB, 1).astype(_I32), *planes)
+    )(gbase.reshape(nb, 1).astype(_I32), *planes)
     return list(out) if isinstance(out, (list, tuple)) else [out]

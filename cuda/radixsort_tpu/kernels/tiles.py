@@ -1,4 +1,4 @@
-"""Kernel-safe tile math for the 4-bit partition stage.
+"""Kernel-safe tile math for the partition stage (2- or 4-bit digits).
 
 All functions here use ONLY primitives that lower in Mosaic TPU kernels
 (elementwise ops, pltpu.roll, take_along_axis along the last dim with <=128
@@ -15,9 +15,11 @@ Reference semantics being reimplemented (NOT translated):
     vectorized over 128 lanes with a binary-search gather instead of a rank
     scatter (TPU has gather, not scatter).
 
-Digit width is fixed at 4 bits (16 buckets): per-row counts <= 128 fit the
-packed 8-bit fields exactly, and 16 buckets is the measured sweet spot for
-the per-bucket cross-row scatter (NOTES.md cost model).
+Digit width is a parameter (the policy-hub knob, CUB tuning_radix_sort.cuh
+:358-1063 analogue): nb=16 (4-bit, 4 packed words) is the full-sort sweet
+spot of the round-1 cost model; nb=4 (2-bit, ONE packed word) costs ~2.5x
+less per stage and wins for 1-2-stage partition-class ops (filter,
+selection). Per-row counts <= 128 always fit the packed 8-bit fields.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
-NB = 16          # buckets per stage (4-bit digits)
+NB = 16          # default buckets per stage (4-bit digits)
 LANES = 128
 
 _I32 = jnp.int32
@@ -40,16 +42,18 @@ def _row_iota(shape):
     return jax.lax.broadcasted_iota(_I32, shape, 0)
 
 
-def packed_words(d: jnp.ndarray):
-    """4-bit digits (R,128) -> 4 packed one-hot words.
+def packed_words(d: jnp.ndarray, nb: int = NB):
+    """Digits (R,128) in [0, nb) -> nb//4 packed one-hot words.
 
     Word j holds buckets [4j, 4j+4), 8 bits per bucket:
     word_j = (1 << 8*(d & 3)) where d>>2 == j else 0.
     """
     shift8 = (d & 3) * jnp.int32(8)
     val = jax.lax.shift_left(jnp.int32(1), shift8)
+    if nb == 4:
+        return [val]
     hi = d >> 2
-    return [jnp.where(hi == j, val, 0) for j in range(4)]
+    return [jnp.where(hi == j, val, 0) for j in range(nb // 4)]
 
 
 def lane_inclusive_prefix(w: jnp.ndarray) -> jnp.ndarray:
@@ -72,10 +76,15 @@ def field(word: jnp.ndarray, b4: int) -> jnp.ndarray:
 
 
 def field_dyn(words: list[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
-    """Extract per-element field b (0..15) from the 4 packed word planes."""
-    w01 = jnp.where((b >> 2) & 1 == 0, words[0], words[1])
-    w23 = jnp.where((b >> 2) & 1 == 0, words[2], words[3])
-    w = jnp.where(b >> 3 == 0, w01, w23)
+    """Extract per-element field b (0..4*len(words)) from packed word planes."""
+    if len(words) == 1:
+        w = words[0]
+    elif len(words) == 2:
+        w = jnp.where(b >> 2 == 0, words[0], words[1])
+    else:
+        w01 = jnp.where((b >> 2) & 1 == 0, words[0], words[1])
+        w23 = jnp.where((b >> 2) & 1 == 0, words[2], words[3])
+        w = jnp.where(b >> 3 == 0, w01, w23)
     return jax.lax.shift_right_logical(w, (b & 3) * jnp.int32(8)) & 255
 
 
@@ -93,13 +102,15 @@ def row_tables(ss: list[jnp.ndarray]):
     # per-word totals (top field of the inclusive within-word prefix)
     inc = [t + (t << 8) + (t << 16) + (t << 24) for t in tot]
     wt = [jax.lax.shift_right_logical(i, jnp.int32(24)) & 255 for i in inc]
-    wb = [jnp.zeros_like(wt[0]), wt[0], wt[0] + wt[1], wt[0] + wt[1] + wt[2]]
+    wb = [jnp.zeros_like(wt[0])]
+    for j in range(1, len(ss)):
+        wb.append(wb[-1] + wt[j - 1])
     rb = [e + w * jnp.int32(0x01010101) for e, w in zip(excl, wb)]
     return tot, rb
 
 
-def inrow_sort(digits: jnp.ndarray, planes: list[jnp.ndarray]):
-    """Stable in-row counting sort of every 128-lane row by 4-bit digit.
+def inrow_sort(digits: jnp.ndarray, planes: list[jnp.ndarray], nb: int = NB):
+    """Stable in-row counting sort of every 128-lane row by its digit.
 
     Returns (sorted_planes, sorted_digits, tot, rb, ss) where sorted_digits is
     the bucket id at each output slot and tot/rb are the packed row tables.
@@ -110,7 +121,7 @@ def inrow_sort(digits: jnp.ndarray, planes: list[jnp.ndarray]):
     elements in lanes < m; src = max m with f(m) <= t, then f(src) == t).
     """
     shape = digits.shape
-    ws = packed_words(digits)
+    ws = packed_words(digits, nb)
     ss = [lane_inclusive_prefix(w) for w in ws]
     tot, rb = row_tables(ss)
 
@@ -119,7 +130,7 @@ def inrow_sort(digits: jnp.ndarray, planes: list[jnp.ndarray]):
     # Broadcast compares against (R,1) columns measure FASTER than a 4-step
     # binary search over the packed fields (Mosaic keeps columns narrow).
     bidx = jnp.zeros(shape, _I32)
-    for b in range(1, NB):
+    for b in range(1, nb):
         rbf = field(rb[b >> 2], b & 3)  # (R,1)
         bidx = bidx + (j >= rbf).astype(_I32)
     # t = rank within bucket = j - rowbase[bidx]
@@ -137,21 +148,21 @@ def inrow_sort(digits: jnp.ndarray, planes: list[jnp.ndarray]):
     return sorted_planes, bidx, tot, rb, ss
 
 
-def bucket_count_table(tot: list[jnp.ndarray], rows: int):
-    """SC (R,128): lane b<16 holds the row's bucket-b count (0 elsewhere),
+def bucket_count_table(tot: list[jnp.ndarray], rows: int, nb: int = NB):
+    """SC (R,128): lane b<nb holds the row's bucket-b count (0 elsewhere),
     plus its exclusive prefix over rows (SCexcl) and the tile totals (1,128).
 
-    The (rows x buckets) table in lane-major layout lets ALL 16 per-bucket
+    The (rows x buckets) table in lane-major layout lets ALL per-bucket
     row-prefixes be computed with ONE sublane Hillis-Steele scan.
     """
     shape = (rows, LANES)
     lane = _lane_iota(shape)
     sc = jnp.zeros(shape, _I32)
-    for jw in range(4):
+    for jw in range(len(tot)):
         t = jnp.broadcast_to(tot[jw], shape)
         f = jax.lax.shift_right_logical(t, (lane & 3) * jnp.int32(8)) & 255
         sc = sc + jnp.where((lane >> 2) == jw, f, 0)
-    sc = jnp.where(lane < NB, sc, 0)
+    sc = jnp.where(lane < nb, sc, 0)
 
     row = _row_iota(shape)
     inc = sc

@@ -186,8 +186,29 @@ def _sort_limbs(
     (limbs, payloads) permuted into sorted order.
     """
     if cfg.engine == "bitonic":
-        # bitonic is keys-only/full-range (dispatched in sort()); for pairs,
-        # bit ranges and argsort fall back to the stable lax.sort path.
+        # full-range pairs with 4-byte payloads ride the multi-plane network:
+        # (key limbs..., index, payloads...) with n_cmp = limbs+1 — the index
+        # plane makes (key, index) a total order, so the network is STABLE.
+        # Measured v5e: 531 M pairs/s @2^25 = 1.8x over the stable lax.sort
+        # path (the r1 fallback). Plane counts > 4 lose VMEM/program budget;
+        # bit-range sorts keep lax.sort (they need masked compares).
+        full = all(b == 0 and e == 32 for (b, e) in limb_bits)
+        four_byte = all(jnp.dtype(p.dtype).itemsize == 4 for p in payloads)
+        n_total = len(limbs) + 1 + len(payloads)
+        if full and four_byte and payloads and n_total <= 4:
+            n = limbs[0].shape[0]
+            idx = jnp.arange(n, dtype=jnp.uint32)
+            pay_u32 = [p if p.dtype == jnp.uint32 else p.view(jnp.uint32)
+                       for p in payloads]
+            planes = list(limbs) + [idx] + pay_u32
+            out = _bitonic_planes(planes, n, n_cmp=len(limbs) + 1, cfg=cfg)
+            out_limbs = out[: len(limbs)]
+            out_pays = [
+                o if p.dtype == jnp.uint32 else o.view(p.dtype)
+                for o, p in zip(out[len(limbs) + 1:], payloads)
+            ]
+            return out_limbs, out_pays
+        # bit ranges, wide payloads, many columns: stable lax.sort fallback
         cfg = cfg.replace(engine="xla")
     if cfg.engine == "xla":
         # sort keys = limbs masked to the participating bit range (most
@@ -216,7 +237,7 @@ def _sort_limbs(
     if cfg.engine == "pallas":
         from cuda.radixsort_tpu.kernels import pipeline as kpipe
 
-        tile_elems = kpipe.TILE
+        tile_elems = kpipe.tile_elems(cfg)
     else:
         tile_elems = cfg.tile_elems
     pad = _pad_amount(n, tile_elems)
@@ -375,8 +396,8 @@ def _bitonic_planes(planes, n, n_cmp, cfg):
             for p in planes
         ]
     out = bkern.sort_planes_bitonic(
-        planes, n_cmp=n_cmp, log_tile=min(16, logn),
-        interpret=cfg.interpret,
+        planes, n_cmp=n_cmp, log_tile=min(cfg.log_tile or 16, logn),
+        log_merge=cfg.log_merge, interpret=cfg.interpret,
     )
     if npad != n:
         out = [p[:n] for p in out]
@@ -426,7 +447,7 @@ def _hybrid_partition(keys, *, descending: bool, msd_bits: int, config):
     from cuda.radixsort_tpu.kernels import pipeline as kpipe
 
     bits = twiddle.twiddle_in(keys, descending=descending).astype(jnp.uint32)
-    pad = _pad_amount(bits.shape[0], kpipe.TILE)
+    pad = _pad_amount(bits.shape[0], kpipe.tile_elems(config_lib.resolve(config)))
     bits = _pad_bits(bits, pad)
     (pb,), _ = kpipe.sort_limbs_pallas(
         [bits], [(32 - msd_bits, 32)], [], config

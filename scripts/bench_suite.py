@@ -79,6 +79,47 @@ def main():
         except Exception as e:
             print(json.dumps({"config": "sort_pairs_u64", "error": str(e)[:120]}))
 
+    # 2b. u32-key + u32-payload stable pairs at the largest count that fits
+    #     one chip comfortably (2^27 = 134M pairs; 3-plane network)
+    if wanted("sort_pairs_u32"):
+        np_pairs = 1 << (20 if SMALL else 27)
+        xp = jax.random.bits(key, (np_pairs,), jnp.uint32)
+
+        def pairs32_step(v):
+            pay = v * jnp.uint32(2654435761)
+            ok_, ov_ = rs.sort_pairs(v, pay)
+            return rot32(ok_ ^ ov_)
+
+        try:
+            t = timed_chain(pairs32_step, xp, k=2)
+            report("sort_pairs_u32_134M", np_pairs, t)
+        except Exception as e:
+            print(json.dumps({"config": "sort_pairs_u32_134M",
+                              "error": str(e)[:120]}))
+
+    # 2c. the CONTRACT pairs size: 256M u64+payload pairs (BASELINE.json:8).
+    #     4 u32 planes x 2^28 = 4 GB; in-place network passes make it fit.
+    if wanted("sort_pairs_contract") and not SMALL:
+        from cuda.radixsort_tpu.kernels.bitonic import sort_planes_bitonic
+
+        nc = 1 << 28
+
+        def pairs_contract_step(v):
+            lo = v * jnp.uint32(2654435761)
+            idx = jnp.arange(v.shape[0], dtype=jnp.uint32)
+            pay = v ^ jnp.uint32(0x9E3779B9)
+            a, b, c, d = sort_planes_bitonic([v, lo, idx, pay], n_cmp=3)
+            return rot32(a ^ d)
+
+        try:
+            xc = jax.random.bits(key, (nc,), jnp.uint32)
+            t = timed_chain(pairs_contract_step, xc, k=1)
+            report("sort_pairs_u64_256M_contract", nc, t)
+            del xc
+        except Exception as e:
+            print(json.dumps({"config": "sort_pairs_u64_256M_contract",
+                              "error": str(e)[:160]}))
+
     # 3. hash join (FK shape), single-chip slice of the 1B x 100M contract
     npr, nb = 1 << (18 if SMALL else 24), 1 << (15 if SMALL else 21)
     pk0 = jax.random.bits(key, (npr,), jnp.uint32) % jnp.uint32(nb)

@@ -89,14 +89,19 @@ def best_engine(platform: str | None = None) -> str:
     return "bitonic" if platform == "tpu" else "xla"
 
 
-def for_partition(cfg: SortConfig) -> SortConfig:
-    """Engine override for 1-2-stage partition-class ops (filter, partition,
-    selection vectors): the bitonic engine cannot serve bit-range configs
-    (it would silently fall back to lax.sort), while the Pallas radix stage
-    is measured 3.1x faster than that fallback (filter @2^24: 16.2 ms vs
-    50.1 ms on v5e). Explicit 'xla'/'reference' choices are respected."""
+def for_partition(cfg: SortConfig, bits: int | None = None) -> SortConfig:
+    """Engine/width override for 1-2-stage partition-class ops (filter,
+    partition, selection vectors): the bitonic engine cannot serve bit-range
+    configs (it would silently fall back to lax.sort), while the Pallas
+    radix stage is the measured winner (filter @2^24: 8.0 ms with 2-bit
+    stages vs 16.7 ms 4-bit vs 50.1 ms lax.sort on v5e). Ops that need
+    <= 2 key bits therefore force the 2-bit stage variant (ONE packed
+    counter word — ~2.1x cheaper per pass). Explicit 'xla'/'reference'
+    engine choices are respected."""
     if cfg.engine == "bitonic":
-        return cfg.replace(engine="pallas")
+        cfg = cfg.replace(engine="pallas")
+    if bits is not None and bits <= 2 and cfg.engine == "pallas":
+        cfg = cfg.replace(radix_bits=2)
     return cfg
 
 

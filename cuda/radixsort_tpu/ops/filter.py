@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from cuda.radixsort_tpu import config as config_lib
+from cuda.radixsort_tpu.kernels.pipeline import stage_width as _stage_width
 from cuda.radixsort_tpu.ops.sort import sort_pairs as _sort_pairs
 
 
@@ -24,13 +25,14 @@ def selection_vector(mask: jnp.ndarray,
     """mask (N,) bool -> (sel (N,) int32, count). sel[:count] are the indices
     of rows where mask is True, in order; sel[count:] are the dropped rows'
     indices (a permutation — usable to invert the filter)."""
-    cfg = config_lib.for_partition(config_lib.resolve(config))
+    cfg = config_lib.for_partition(config_lib.resolve(config), bits=1)
     n = mask.shape[0]
     key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
     idx = jnp.arange(n, dtype=jnp.int32)
-    # end_bit=4 (not 1): the key is already 0/1, and a nibble-aligned range
-    # lets the pallas engine skip the pre-mask copy plane (pipeline.py)
-    _, sel = _sort_pairs(key, idx, begin_bit=0, end_bit=4, config=cfg)
+    # end_bit = the stage digit width (not 1): the key is already 0/1 and a
+    # width-aligned range keeps it to ONE pass with no pre-mask copy plane
+    _, sel = _sort_pairs(key, idx, begin_bit=0, end_bit=_stage_width(cfg),
+                         config=cfg)
     count = jnp.sum(mask.astype(jnp.int32))
     return sel, count
 
@@ -44,9 +46,9 @@ def filter_columns(mask: jnp.ndarray, columns,
     are the rows where mask was True, in their original order; tail rows are
     the dropped rows (NOT zeroed — slice or mask with count).
     """
-    cfg = config_lib.for_partition(config_lib.resolve(config))
+    cfg = config_lib.for_partition(config_lib.resolve(config), bits=1)
     key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
-    _, out = _sort_pairs(key, columns, begin_bit=0, end_bit=4,
-                                 config=cfg)
+    _, out = _sort_pairs(key, columns, begin_bit=0,
+                         end_bit=_stage_width(cfg), config=cfg)
     count = jnp.sum(mask.astype(jnp.int32))
     return out, count

@@ -83,25 +83,30 @@ def join(
     nb, np_ = build_keys.shape[0], probe_keys.shape[0]
 
     keys = jnp.concatenate([build_keys, probe_keys])
-    bside = jnp.zeros((nb,), jnp.int32)
-    if build_valid is not None:
-        bside = jnp.where(build_valid, bside, 2)
-    pside = jnp.ones((np_,), jnp.int32)
-    if probe_valid is not None:
-        pside = jnp.where(probe_valid, pside, 2)
-    side = jnp.concatenate([bside, pside])
     vals = jnp.concatenate([build_vals, jnp.zeros((np_,), build_vals.dtype)])
-    orig = jnp.concatenate(
-        [jnp.zeros((nb,), jnp.int32), jnp.arange(np_, dtype=jnp.int32)]
-    )
+    # ONE companion column instead of (side, vals, orig): the concat
+    # position encodes side (pos < nb == build) and probe row (pos - nb);
+    # bit 31 flags invalid rows. Two payload planes keep the sort on the
+    # multi-plane bitonic fast path (4-byte pairs, ops/sort.py).
+    ntot = nb + np_
+    posflag = jnp.arange(ntot, dtype=jnp.uint32)
+    if build_valid is not None or probe_valid is not None:
+        bvalid = (jnp.ones((nb,), bool) if build_valid is None
+                  else build_valid)
+        pvalid = (jnp.ones((np_,), bool) if probe_valid is None
+                  else probe_valid)
+        invalid = ~jnp.concatenate([bvalid, pvalid])
+        posflag = posflag | jnp.where(invalid, jnp.uint32(1 << 31),
+                                      jnp.uint32(0))
 
-    skeys, (sside, svals, sorig) = _sort_pairs(
-        keys, (side, vals, orig), config=cfg
-    )
+    skeys, (sposflag, svals) = _sort_pairs(keys, (posflag, vals), config=cfg)
+    spos = (sposflag & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    sinvalid = sposflag >= jnp.uint32(1 << 31)
+    sside = jnp.where(sinvalid, 2, jnp.where(spos < nb, 0, 1))
+    sorig = jnp.maximum(spos - nb, 0)
 
     sbits = twiddle.twiddle_in(skeys)
     is_build = sside == 0
-    ntot = skeys.shape[0]
     pos = jnp.arange(ntot, dtype=jnp.int32)
     # matched iff MY key group contains a build row (builds sort first in
     # each group): group build-count from cumsums — no gathers
@@ -146,20 +151,16 @@ def _sorted_merge_state(build_keys, build_vals, probe_keys, cfg):
     """
     nb, np_ = build_keys.shape[0], probe_keys.shape[0]
     keys = jnp.concatenate([build_keys, probe_keys])
-    side = jnp.concatenate(
-        [jnp.zeros((nb,), jnp.int32), jnp.ones((np_,), jnp.int32)]
-    )
     vals = jnp.concatenate([build_vals, jnp.zeros((np_,), build_vals.dtype)])
-    orig = jnp.concatenate(
-        [jnp.zeros((nb,), jnp.int32), jnp.arange(np_, dtype=jnp.int32)]
-    )
-    skeys, (sside, svals, sorig) = _sort_pairs(
-        keys, (side, vals, orig), config=cfg
-    )
+    # position companion instead of (side, orig) — see join() above
+    n = nb + np_
+    posc = jnp.arange(n, dtype=jnp.uint32)
+    skeys, (sposc, svals) = _sort_pairs(keys, (posc, vals), config=cfg)
+    spos = sposc.astype(jnp.int32)
+    sorig = jnp.maximum(spos - nb, 0)
     sbits = twiddle.twiddle_in(skeys)
-    n = skeys.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    is_build = sside == 0
+    is_build = spos < nb
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sbits[1:] != sbits[:-1]]
     )

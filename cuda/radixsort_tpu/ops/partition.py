@@ -53,7 +53,7 @@ def partition(
     int32 bucket boundaries: bucket b = rows [offsets[b], offsets[b+1]).
     values may be None or a pytree of equal-length arrays.
     """
-    cfg = config_lib.for_partition(config_lib.resolve(config))
+    cfg = config_lib.for_partition(config_lib.resolve(config), bits=bits)
     n = keys.shape[0]
     bkt = bucket_ids(keys, bits=bits, by_hash=by_hash)
     width = twiddle.bit_width(bkt.dtype)

@@ -69,7 +69,14 @@ def segmented_sort(
         return _limbs_to_key(out[1:], keys.dtype, descending)
 
     limbs = [seg] + limbs
-    limb_bits = [(0, seg_bits)] + limb_bits
+    # comparison engines (bitonic network / lax.sort) gain nothing from a
+    # narrow segment range — declaring it full-width (high bits are zero)
+    # keeps the config on the multi-plane fast path / skips masked copies;
+    # the radix engine keeps the tight width (fewer digit passes).
+    if cfg.engine in ("bitonic", "xla"):
+        limb_bits = [(0, 32)] + limb_bits
+    else:
+        limb_bits = [(0, seg_bits)] + limb_bits
 
     leaves, treedef = jax.tree_util.tree_flatten(values) if values is not None else ([], None)
     limbs, leaves = _sort_limbs(limbs, limb_bits, list(leaves), cfg)

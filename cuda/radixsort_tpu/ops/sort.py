@@ -195,7 +195,11 @@ def _sort_limbs(
         full = all(b == 0 and e == 32 for (b, e) in limb_bits)
         four_byte = all(jnp.dtype(p.dtype).itemsize == 4 for p in payloads)
         n_total = len(limbs) + 1 + len(payloads)
-        if full and four_byte and payloads and n_total <= 4:
+        # compiled Pallas needs a TPU; on CPU the network runs only under
+        # interpret (and multi-plane interpret is pathologically slow), so
+        # plain-CPU bitonic pairs degrade to the stable lax.sort path
+        runnable = config_lib.default_backend() == "tpu" or cfg.interpret
+        if full and four_byte and payloads and n_total <= 4 and runnable:
             n = limbs[0].shape[0]
             idx = jnp.arange(n, dtype=jnp.uint32)
             pay_u32 = [p if p.dtype == jnp.uint32 else p.view(jnp.uint32)
@@ -395,8 +399,12 @@ def _bitonic_planes(planes, n, n_cmp, cfg):
             jnp.concatenate([p, jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)])
             for p in planes
         ]
+    # 3+ planes default to lt=15: 3% slower than lt=16 at 2^25 but the
+    # tile-sort program compiles 2.6x faster (79 s vs 209 s cold through
+    # the tunnel — the <2 min compile budget, NOTES r2)
+    lt_default = 16 if len(planes) <= 2 else 15
     out = bkern.sort_planes_bitonic(
-        planes, n_cmp=n_cmp, log_tile=min(cfg.log_tile or 16, logn),
+        planes, n_cmp=n_cmp, log_tile=min(cfg.log_tile or lt_default, logn),
         log_merge=cfg.log_merge, interpret=cfg.interpret,
     )
     if npad != n:

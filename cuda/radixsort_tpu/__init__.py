@@ -34,6 +34,8 @@ from cuda.radixsort_tpu.ops.filter import filter_columns, selection_vector  # no
 from cuda.radixsort_tpu.ops.join import join  # noqa: F401
 from cuda.radixsort_tpu.ops.aggregate import groupby  # noqa: F401
 from cuda.radixsort_tpu.ops.segmented import segmented_sort  # noqa: F401
+from cuda.radixsort_tpu.ops.join import join_count, join_expand  # noqa: F401
+from cuda.radixsort_tpu.table import Table, table  # noqa: F401
 from cuda.radixsort_tpu import twiddle  # noqa: F401
 
 __version__ = "0.1.0"

@@ -80,10 +80,40 @@ def filter_sort_join_query(n_probe: int = 1 << 18, n_build: int = 1 << 14):
     return fn, (pk, pv, bk, bk.astype(jnp.int32))
 
 
+def sort_pairs_u32(n: int = 1 << 18):
+    """Stable (u32 key, u32 payload) pairs — the multi-plane network path."""
+    import cuda.radixsort_tpu as rs
+
+    def fn(keys, pay):
+        return rs.sort_pairs(keys, pay)
+
+    return fn, (_rng_u32(7, n), _rng_u32(8, n))
+
+
+def table_query(n: int = 1 << 18, n_build: int = 1 << 14):
+    """Column-batch Table pipeline: filter -> join -> groupby."""
+    import cuda.radixsort_tpu as rs
+
+    def fn(k, v, bk, bv):
+        t = rs.Table({"k": k, "v": v})
+        f, cnt = t.filter(v > 0)
+        j, jcnt = f.join(rs.Table({"k": bk, "bval": bv}), on="k",
+                         value="bval")
+        g, gcnt = j.groupby("k", "bval", agg="sum")
+        return g["k"], g["bval"], gcnt
+
+    bk = jnp.arange(n_build, dtype=jnp.uint32)
+    k = _rng_u32(9, n) % jnp.uint32(n_build)
+    v = (_rng_u32(10, n) % jnp.uint32(200)).astype(jnp.int32) - 100
+    return fn, (k, v, bk, bk.astype(jnp.int32))
+
+
 REGISTRY = {
     "sort_u32": sort_u32,
     "sort_pairs_u64": sort_pairs_u64,
+    "sort_pairs_u32": sort_pairs_u32,
     "fk_join": fk_join,
     "groupby_zipf": groupby_zipf,
     "filter_sort_join_query": filter_sort_join_query,
+    "table_query": table_query,
 }

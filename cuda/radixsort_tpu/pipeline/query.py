@@ -74,7 +74,8 @@ def filter_sort_join(
     return k2, pv2, bv2, cnt2, stats
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis_name", "config"))
+@functools.partial(jax.jit, static_argnames=("mesh", "axis_name",
+                                             "join_strategy", "config"))
 def filter_sort_join_distributed(
     probe_keys: jnp.ndarray,
     probe_vals: jnp.ndarray,
@@ -84,22 +85,76 @@ def filter_sort_join_distributed(
     *,
     mesh: Mesh,
     axis_name: str = "x",
+    join_strategy: str = "auto",
     config: config_lib.SortConfig | None = None,
 ):
-    """Distributed variant: probe sharded over the mesh axis, build
-    broadcast. Returns per-shard results concatenated on the axis plus
-    per-shard counts and a stats pytree (psum-reduced totals)."""
+    """Distributed variant: probe sharded over the mesh axis; the build side
+    is BROADCAST (small builds — no probe movement) or HASH-EXCHANGED with
+    the filtered probe rows (large builds — BASELINE.json:9's shape), per
+    `join_strategy` ('auto' routes at 2^20 build rows). Returns per-shard
+    results concatenated on the axis plus per-shard counts and a stats
+    pytree (psum-reduced totals)."""
+    if join_strategy not in ("auto", "broadcast", "hash"):
+        raise ValueError(join_strategy)
+    if join_strategy == "auto":
+        join_strategy = ("broadcast" if build_keys.shape[0] <= (1 << 20)
+                         else "hash")
 
-    def shard_fn(pk, pv, bk, bv):
-        bk_full = jax.lax.all_gather(bk.reshape(-1), axis_name, tiled=True)
-        bv_full = jax.lax.all_gather(bv.reshape(-1), axis_name, tiled=True)
-        k, pvv, bvv, cnt, stats = filter_sort_join(
-            pk.reshape(-1), pv.reshape(-1), bk_full, bv_full, threshold,
-            config=config,
+    if join_strategy == "broadcast":
+        def shard_fn(pk, pv, bk, bv):
+            bk_full = jax.lax.all_gather(bk.reshape(-1), axis_name,
+                                         tiled=True)
+            bv_full = jax.lax.all_gather(bv.reshape(-1), axis_name,
+                                         tiled=True)
+            k, pvv, bvv, cnt, stats = filter_sort_join(
+                pk.reshape(-1), pv.reshape(-1), bk_full, bv_full, threshold,
+                config=config,
+            )
+            tot = QueryStats(*[jax.lax.psum(s, axis_name) for s in stats])
+            return (k.reshape(1, -1), pvv.reshape(1, -1), bvv.reshape(1, -1),
+                    cnt.reshape(1, 1), tot)
+    else:
+        from cuda.radixsort_tpu.ops.filter import filter_columns
+        from cuda.radixsort_tpu.ops.join import join as join_op
+        from cuda.radixsort_tpu.parallel.shuffle import (
+            _owner_of_keys, exchange_rows,
         )
-        tot = QueryStats(*[jax.lax.psum(s, axis_name) for s in stats])
-        return (k.reshape(1, -1), pvv.reshape(1, -1), bvv.reshape(1, -1),
-                cnt.reshape(1, 1), tot)
+
+        ndev = mesh.shape[axis_name]
+
+        def shard_fn(pk, pv, bk, bv):
+            pk, pv = pk.reshape(-1), pv.reshape(-1)
+            bk, bv = bk.reshape(-1), bv.reshape(-1)
+            sp, sb = pk.shape[0], bk.shape[0]
+            n = sp * ndev
+            # 1. local filter (selection vector; rows [0, nf) valid)
+            mask = pv > threshold
+            (fk, fv), nf = filter_columns(mask, (pk, pv), config=config)
+            pvalid = jnp.arange(sp) < nf
+            # 2. hash-exchange: filtered probe rows AND build rows move to
+            #    owner = hash(key) % ndev; the probe's exchange is issued
+            #    first so its all_to_all overlaps the build-side grouping
+            #    compute (XLA async collectives)
+            destp = jnp.where(pvalid, _owner_of_keys(fk, ndev), ndev)
+            (rpk, rpv), rpvalid = exchange_rows(
+                [fk, fv], destp, ndev, axis_name, sp)
+            destb = _owner_of_keys(bk, ndev)
+            (rbk, rbv), rbvalid = exchange_rows(
+                [bk, bv], destb, ndev, axis_name, sb)
+            # 3. local join of the received key partitions
+            ok, ov, oi, cnt = join_op(
+                rbk, rbv, rpk, how="inner",
+                build_valid=rbvalid, probe_valid=rpvalid, config=config)
+            opv = jnp.take(rpv, oi, axis=0)  # probe values followed the rows
+            tot = QueryStats(
+                rows_in=jax.lax.psum(jnp.asarray(n, jnp.int32) // ndev,
+                                     axis_name),
+                rows_after_filter=jax.lax.psum(nf.astype(jnp.int32),
+                                               axis_name),
+                rows_joined=jax.lax.psum(cnt.astype(jnp.int32), axis_name),
+            )
+            return (ok.reshape(1, -1), opv.reshape(1, -1),
+                    ov.reshape(1, -1), cnt.reshape(1, 1), tot)
 
     k, pv, bv, cnt, stats = shard_map(
         shard_fn,

@@ -65,3 +65,24 @@ def test_query_distributed():
     want = _oracle(bk, bv, pk, pv, thr)
     assert sorted(got) == want
     assert int(stats.rows_joined) == len(want)
+
+
+def test_query_distributed_hash_strategy():
+    # hash-exchange join path: both sides partitioned by key hash
+    mesh = dsort.make_mesh(NDEV)
+    bk, bv, pk, pv = _data(23, NDEV * 64, NDEV * 4096)
+    thr = 0
+    k, pvv, bvv, cnt, stats = query.filter_sort_join_distributed(
+        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(bk), jnp.asarray(bv),
+        thr, mesh=mesh, join_strategy="hash", config=CFG)
+    k, pvv, bvv, cnt = [np.asarray(x) for x in (k, pvv, bvv, cnt)]
+    per = k.shape[0] // NDEV
+    got = []
+    for d in range(NDEV):
+        c = cnt[d]
+        got.extend(zip(k[d*per:d*per+c].tolist(), pvv[d*per:d*per+c].tolist(),
+                       bvv[d*per:d*per+c].tolist()))
+    want = _oracle(bk, bv, pk, pv, thr)
+    assert sorted(got) == want
+    assert int(stats.rows_joined) == len(want)
+    assert int(stats.rows_after_filter) == int((pv > thr).sum())

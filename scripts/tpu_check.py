@@ -1,4 +1,9 @@
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax, jax.numpy as jnp, numpy as np
 import cuda.radixsort_tpu as rs
 
@@ -52,3 +57,44 @@ print("bitonic argsort correct:",
 print("filter default correct:",
       np.array_equal(np.asarray(fout)[: int(cnt)], keys_h[keys_h > (1 << 31)]),
       flush=True)
+
+# ---- round-2 additions --------------------------------------------------
+# multi-plane pairs fast path (3-plane network)
+n = 1 << 20
+k3 = rng.integers(0, 1 << 8, size=n).astype(np.uint32)  # duplicate-heavy
+v3 = np.arange(n, dtype=np.int32)
+gk, gv = rs.sort_pairs(jnp.asarray(k3), jnp.asarray(v3))
+perm = np.argsort(k3, kind="stable")
+print("pairs (3-plane network) stable:",
+      np.array_equal(np.asarray(gk), k3[perm]) and
+      np.array_equal(np.asarray(gv), v3[perm]), flush=True)
+
+# 2-bit partition policy (filter)
+from cuda.radixsort_tpu.ops.filter import filter_columns
+x = rng.integers(0, 2**32, size=1 << 20, dtype=np.uint32)
+(out_,), cnt_ = filter_columns(jnp.asarray(x) > jnp.uint32(1 << 31),
+                               (jnp.asarray(x),))
+print("filter (2-bit stage) correct:",
+      int(cnt_) == int((x > (1 << 31)).sum()) and
+      np.array_equal(np.asarray(out_)[: int(cnt_)], x[x > (1 << 31)]),
+      flush=True)
+
+# segmented pairs (4-plane network)
+offs = jnp.asarray(np.linspace(0, 1 << 18, 65).astype(np.int32))
+ks = rng.integers(0, 2**32, size=1 << 18, dtype=np.uint32)
+vs = np.arange(1 << 18, dtype=np.int32)
+ok_, ov_ = rs.segmented_sort(jnp.asarray(ks), offs, jnp.asarray(vs))
+kk = ks.reshape(64, -1)
+want_k = np.sort(kk, axis=1).reshape(-1)
+print("segmented pairs correct:",
+      np.array_equal(np.asarray(ok_), want_k), flush=True)
+
+# Table layer end-to-end on hardware
+t = rs.table(k=jnp.asarray(rng.integers(0, 1000, size=1 << 18).astype(np.uint32)),
+             v=jnp.asarray(rng.integers(-99, 99, size=1 << 18).astype(np.int32)))
+f, fcnt = t.filter(t["v"] > 0)
+g, gcnt = t.groupby("k", "v", agg="sum")
+kk, vv = np.asarray(t["k"]), np.asarray(t["v"])
+ok_tab = int(gcnt) == len(np.unique(kk))
+print("table filter/groupby correct:",
+      int(fcnt) == int((vv > 0).sum()) and ok_tab, flush=True)

@@ -199,7 +199,21 @@ def _sort_limbs(
         # interpret (and multi-plane interpret is pathologically slow), so
         # plain-CPU bitonic pairs degrade to the stable lax.sort path
         runnable = config_lib.default_backend() == "tpu" or cfg.interpret
-        if full and four_byte and payloads and n_total <= 4 and runnable:
+        # size/padding gate (measured v5e): the network reaches lax.sort
+        # parity at ~2^22 and wins from ~2^23 up (3-plane: 1.0x @2^22 ->
+        # 1.8x @2^25; 4-plane: 1.36x @2^25), BUT it pads to a power of two
+        # while lax.sort does not — at npad/n near 2 the padding eats the
+        # speedup (measured: 16M+2M-row join 4x slower padded to 2^25).
+        # Route to the network only when size x padding still projects a win.
+        n_rows = limbs[0].shape[0]
+        npad = 1 << max((n_rows - 1).bit_length(), 10)
+        ratio = npad / n_rows
+        if n_total <= 3:
+            projected_win = npad >= (1 << 23) and ratio < 1.6
+        else:
+            projected_win = npad >= (1 << 24) and ratio < 1.25
+        if (full and four_byte and payloads and n_total <= 4 and runnable
+                and (projected_win or cfg.interpret)):
             n = limbs[0].shape[0]
             idx = jnp.arange(n, dtype=jnp.uint32)
             pay_u32 = [p if p.dtype == jnp.uint32 else p.view(jnp.uint32)

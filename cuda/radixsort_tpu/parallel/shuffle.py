@@ -174,6 +174,8 @@ def groupby_distributed(
         in_specs=(P(axis_name), P(axis_name)),
         out_specs=(P(axis_name), P(axis_name), P(axis_name),
                    stats_lib.stats_out_specs(axis_name)),
+        # pallas_call out_shapes carry no vma annotation; skip the check
+        check_vma=False,
     )(keys, values)
     return gk.reshape(-1), gv.reshape(-1), cnt.reshape(-1), st
 
@@ -221,6 +223,8 @@ def groupby_exchange_cap(
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name)),
         out_specs=P(),
+        # pallas_call out_shapes carry no vma annotation; skip the check
+        check_vma=False,
     )(keys, values)
 
 
@@ -316,6 +320,8 @@ def join_distributed_broadcast(
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name)),
         out_specs=(P(axis_name),) * 4 + (stats_lib.stats_out_specs(axis_name),),
+        # pallas_call out_shapes carry no vma annotation; skip the check
+        check_vma=False,
     )(build_keys, build_vals, probe_keys)
     return ok.reshape(-1), ov.reshape(-1), oi.reshape(-1), cnt.reshape(-1), st
 
@@ -366,6 +372,8 @@ def join_exchange_caps(
     return shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis_name), P(axis_name)), out_specs=(P(), P()),
+        # pallas_call out_shapes carry no vma annotation; skip the check
+        check_vma=False,
     )(build_keys, probe_keys)
 
 
@@ -433,6 +441,8 @@ def join_distributed_hash(
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name)),
         out_specs=(P(axis_name),) * 4 + (stats_lib.stats_out_specs(axis_name),),
+        # pallas_call out_shapes carry no vma annotation; skip the check
+        check_vma=False,
     )(build_keys, build_vals, probe_keys)
     return ok.reshape(-1), ov.reshape(-1), oi.reshape(-1), cnt.reshape(-1), st
 

@@ -162,5 +162,7 @@ def filter_sort_join_distributed(
         in_specs=(P(axis_name),) * 4,
         out_specs=((P(axis_name),) * 4
                    + (jax.tree.map(lambda _: P(), QueryStats(0, 0, 0)),)),
+        # pallas_call out_shapes carry no vma annotation; skip the check
+        check_vma=False,
     )(probe_keys, probe_vals, build_keys, build_vals)
     return k.reshape(-1), pv.reshape(-1), bv.reshape(-1), cnt.reshape(-1), stats

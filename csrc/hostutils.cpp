@@ -202,4 +202,93 @@ void rt_histogram16(const uint32_t* keys, int64_t n, int shift,
     for (int b = 0; b < 16; b++) out16[b] += h[b];
 }
 
+// ---- round-2 additions: u64 oracles (the 256M u64+payload contract
+// config, BASELINE.json:8, needs host verification that keeps up) ----
+
+// 8-pass LSD sort of u64 keys; even pass count => result lands in `keys`.
+void rt_lsd_sort_u64(uint64_t* keys, uint64_t* tmp, int64_t n) {
+  uint64_t* src = keys;
+  uint64_t* dst = tmp;
+  for (int pass = 0; pass < 8; pass++) {
+    int shift = pass * 8;
+    int64_t hist[256] = {0};
+    {
+      int nt = hw_threads();
+      std::vector<std::vector<int64_t>> ph(nt, std::vector<int64_t>(256, 0));
+      parallel_for_chunks(n, [&](int64_t lo, int64_t hi, int t) {
+        auto& h = ph[t < nt ? t : 0];
+        for (int64_t i = lo; i < hi; i++) h[(src[i] >> shift) & 255]++;
+      });
+      for (auto& h : ph)
+        for (int b = 0; b < 256; b++) hist[b] += h[b];
+    }
+    int64_t base[256];
+    int64_t run = 0;
+    for (int b = 0; b < 256; b++) {
+      base[b] = run;
+      run += hist[b];
+    }
+    for (int64_t i = 0; i < n; i++)
+      dst[base[(src[i] >> shift) & 255]++] = src[i];
+    std::swap(src, dst);
+  }
+}
+
+// Stable u64-key + u32-payload pair sort (values follow keys).
+void rt_lsd_sort_pairs_u64(uint64_t* keys, uint32_t* vals, uint64_t* tmpk,
+                           uint32_t* tmpv, int64_t n) {
+  uint64_t *sk = keys, *dk = tmpk;
+  uint32_t *sv = vals, *dv = tmpv;
+  for (int pass = 0; pass < 8; pass++) {
+    int shift = pass * 8;
+    int64_t hist[256] = {0};
+    for (int64_t i = 0; i < n; i++) hist[(sk[i] >> shift) & 255]++;
+    int64_t base[256];
+    int64_t run = 0;
+    for (int b = 0; b < 256; b++) {
+      base[b] = run;
+      run += hist[b];
+    }
+    for (int64_t i = 0; i < n; i++) {
+      int64_t p = base[(sk[i] >> shift) & 255]++;
+      dk[p] = sk[i];
+      dv[p] = sv[i];
+    }
+    std::swap(sk, dk);
+    std::swap(sv, dv);
+  }
+}
+
+int64_t rt_verify_sorted_u64(const uint64_t* keys, int64_t n) {
+  std::atomic<int64_t> bad{-1};
+  parallel_for_chunks(n - 1, [&](int64_t lo, int64_t hi, int) {
+    for (int64_t i = lo; i < hi; i++) {
+      if (keys[i] > keys[i + 1]) {
+        int64_t cur = bad.load();
+        while ((cur == -1 || i < cur) &&
+               !bad.compare_exchange_weak(cur, i)) {
+        }
+        return;
+      }
+    }
+  });
+  return bad.load();
+}
+
+int64_t rt_compare_u64(const uint64_t* a, const uint64_t* b, int64_t n) {
+  std::atomic<int64_t> bad{-1};
+  parallel_for_chunks(n, [&](int64_t lo, int64_t hi, int) {
+    for (int64_t i = lo; i < hi; i++) {
+      if (a[i] != b[i]) {
+        int64_t cur = bad.load();
+        while ((cur == -1 || i < cur) &&
+               !bad.compare_exchange_weak(cur, i)) {
+        }
+        return;
+      }
+    }
+  });
+  return bad.load();
+}
+
 }  // extern "C"

@@ -71,6 +71,14 @@ def lib():
         L.rt_compare_u32.argtypes = [u32p, u32p, ctypes.c_int64]
         L.rt_compare_u32.restype = ctypes.c_int64
         L.rt_histogram16.argtypes = [u32p, ctypes.c_int64, ctypes.c_int, i64p]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        L.rt_lsd_sort_u64.argtypes = [u64p, u64p, ctypes.c_int64]
+        L.rt_lsd_sort_pairs_u64.argtypes = [u64p, u32p, u64p, u32p,
+                                            ctypes.c_int64]
+        L.rt_verify_sorted_u64.argtypes = [u64p, ctypes.c_int64]
+        L.rt_verify_sorted_u64.restype = ctypes.c_int64
+        L.rt_compare_u64.argtypes = [u64p, u64p, ctypes.c_int64]
+        L.rt_compare_u64.restype = ctypes.c_int64
         _lib = L
         return _lib
 
@@ -158,3 +166,55 @@ def histogram16(keys: np.ndarray, shift: int) -> np.ndarray:
     L.rt_histogram16(_p32(a), a.shape[0], shift,
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out
+
+
+def _p64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def lsd_sort_u64(keys: np.ndarray) -> np.ndarray:
+    """Native CPU LSD radix sort of u64 keys (8 passes). Oracle for the
+    64-bit limb pipeline and the 256M-pair contract config."""
+    L = lib()
+    if L is None:
+        return np.sort(keys, kind="stable")
+    out = np.ascontiguousarray(keys, np.uint64).copy()
+    tmp = np.empty_like(out)
+    L.rt_lsd_sort_u64(_p64(out), _p64(tmp), out.shape[0])
+    return out
+
+
+def lsd_sort_pairs_u64(keys: np.ndarray, vals: np.ndarray):
+    """Stable native (u64 key, u32 payload) oracle pair sort."""
+    L = lib()
+    if L is None:
+        o = np.argsort(keys, kind="stable")
+        return keys[o], vals[o]
+    ok = np.ascontiguousarray(keys, np.uint64).copy()
+    ov = np.ascontiguousarray(vals, np.uint32).copy()
+    tk = np.empty_like(ok)
+    tv = np.empty_like(ov)
+    L.rt_lsd_sort_pairs_u64(_p64(ok), _p32(ov), _p64(tk), _p32(tv),
+                            ok.shape[0])
+    return ok, ov
+
+
+def verify_sorted_u64(keys: np.ndarray) -> int:
+    """-1 if ascending-sorted, else first violating index (threaded)."""
+    L = lib()
+    if L is None:
+        bad = np.nonzero(keys[:-1] > keys[1:])[0]
+        return int(bad[0]) if len(bad) else -1
+    a = np.ascontiguousarray(keys, np.uint64)
+    return int(L.rt_verify_sorted_u64(_p64(a), a.shape[0]))
+
+
+def compare_u64(a: np.ndarray, b: np.ndarray) -> int:
+    """-1 if bit-identical, else first differing index (threaded)."""
+    L = lib()
+    if L is None:
+        bad = np.nonzero(a != b)[0]
+        return int(bad[0]) if len(bad) else -1
+    aa = np.ascontiguousarray(a, np.uint64)
+    bb = np.ascontiguousarray(b, np.uint64)
+    return int(L.rt_compare_u64(_p64(aa), _p64(bb), aa.shape[0]))

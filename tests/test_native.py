@@ -64,3 +64,22 @@ def test_profiling_timed_calls():
     from cuda.radixsort_tpu.utils import profiling
     r = profiling.timed_calls(lambda x: x * 2, (jnp.arange(1024),), m=2)
     assert r["seconds"] > 0 and r["raw_seconds"] >= r["seconds"]
+
+
+def test_native_u64_oracles():
+    from cuda.radixsort_tpu.utils import native
+
+    rng = np.random.default_rng(5)
+    k = rng.integers(0, 2**63, size=100_000, dtype=np.uint64)
+    v = np.arange(100_000, dtype=np.uint32)
+    sk = native.lsd_sort_u64(k)
+    np.testing.assert_array_equal(sk, np.sort(k))
+    assert native.verify_sorted_u64(sk) == -1
+    assert native.verify_sorted_u64(k[::-1].copy()) >= 0
+    ok, ov = native.lsd_sort_pairs_u64(k, v)
+    o = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(ok, k[o])
+    np.testing.assert_array_equal(ov, v[o])
+    assert native.compare_u64(sk, ok) == -1
+    bad = sk.copy(); bad[17] ^= np.uint64(1)
+    assert native.compare_u64(sk, bad) == 17

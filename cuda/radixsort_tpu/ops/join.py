@@ -123,15 +123,19 @@ def join(
     cv = jnp.take(svals, jnp.clip(last_build_pos, 0, ntot - 1), axis=0)
     is_probe = sside == 1
 
+    # composite-op compaction: the XLA path fuses with the surrounding
+    # scans/gathers, which beats the (standalone-faster) Pallas filter here
+    # — measured: join @4M with pallas filters 74.8 ms vs 33.7 ms xla (r2)
+    fcfg = cfg if cfg.engine == "reference" else cfg.replace(engine="xla")
     if how == "inner":
         keep = is_probe & matched
         (ok, ov, oi), count = _filter_columns(
-            keep, (skeys, cv, sorig), config=cfg
+            keep, (skeys, cv, sorig), config=fcfg
         )
         return ok, ov, oi, count
     # left join: all probe rows, plus matched mask
     (ok, ov, oi, om), count = _filter_columns(
-        is_probe, (skeys, cv, sorig, matched), config=cfg
+        is_probe, (skeys, cv, sorig, matched), config=fcfg
     )
     return ok, ov, oi, count, om
 

@@ -54,7 +54,12 @@ def filter_sort_join(
     """
     n = probe_keys.shape[0]
     mask = probe_vals > threshold
-    (fk, fv), nf = filter_columns(mask, (probe_keys, probe_vals), config=config)
+    # composite-pipeline compactions fuse best on the XLA path (see
+    # ops/join.py note); standalone filter_columns keeps the Pallas stage
+    fcfg = config_lib.resolve(config)
+    if fcfg.engine != "reference":
+        fcfg = fcfg.replace(engine="xla")
+    (fk, fv), nf = filter_columns(mask, (probe_keys, probe_vals), config=fcfg)
 
     # join ignores the invalid tail by keying it with a reserved sentinel
     # that cannot match any build key (build keys are user data; instead we
@@ -64,7 +69,7 @@ def filter_sort_join(
                               config=config)
     # drop matches whose probe row was filtered out (idx >= nf)
     keep = (jnp.arange(ok.shape[0]) < cnt) & (oi < nf)
-    (k2, bv2, pi2), cnt2 = filter_columns(keep, (ok, ov, oi), config=config)
+    (k2, bv2, pi2), cnt2 = filter_columns(keep, (ok, ov, oi), config=fcfg)
     pv2 = jnp.take(fv, pi2, axis=0)
     stats = QueryStats(
         rows_in=jnp.asarray(n, jnp.int32),

@@ -79,6 +79,9 @@ def groupby(
         [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
     )
     totals = _segmented_total_at_start(svals, is_start, agg)
+    # NB: unlike join/query, this compaction keeps the Pallas stage —
+    # measured 40.1 ms vs 47.5 ms with the xla filter @2^22 (the scan chain
+    # above offers less fusion benefit than join's sort+gather context)
     (gk, gv), count = _filter_columns(
         is_start, (skeys, totals), config=cfg
     )

@@ -81,6 +81,8 @@ def top_k(keys: jnp.ndarray, k: int, *, largest: bool = True,
     tie_rank = jnp.cumsum(ties.astype(jnp.int32)) - 1
     keep = strictly | (ties & (tie_rank < (k - n_strict)))
     idx = jnp.arange(n, dtype=jnp.int32)
+    # keeps the Pallas stage: select is histogram math, there is no big
+    # sort to fuse with (xla filter measured 2.2x slower here — NOTES r2)
     (fk, fi), _ = filter_columns(keep, (keys, idx), config=config)
     vals, inds = fk[:k], fi[:k]
     if sorted_result:

@@ -436,6 +436,76 @@ def sort_distributed(keys: jnp.ndarray, *, mesh: Mesh, axis_name: str = "x",
     return out, counts, st
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis_name", "cap",
+                                             "descending"))
+def sort_pairs_distributed(keys: jnp.ndarray, values: jnp.ndarray, *,
+                           mesh: Mesh, axis_name: str = "x",
+                           cap: int | None = None,
+                           descending: bool = False):
+    """Globally STABLE key-value sort over the mesh (parity: distributed
+    DeviceRadixSort::SortPairs). Returns (keys_padded, values_padded,
+    valid_counts, stats): device d holds the d-th key range; rows beyond
+    counts[d] in its slice are padding.
+
+    Stability across devices: the exchange preserves (source device,
+    original position) order per destination, heavy-key spreading assigns
+    ascending global rank to ascending devices, and the local sort orders
+    by (validity, key) with the received order as tiebreak — so equal keys
+    keep their original global order end to end.
+    """
+    from cuda.radixsort_tpu.ops.sort import sort_struct
+    from cuda.radixsort_tpu.parallel.shuffle import (
+        exchange_rows as _exchange_rows,
+    )
+
+    ndev = mesh.shape[axis_name]
+    n = keys.shape[0]
+    s = -(-n // ndev)
+    pad = s * ndev - n
+    bits = twiddle.twiddle_in(keys, descending=descending).astype(jnp.uint32)
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)])
+        values = jnp.concatenate(
+            [values, jnp.zeros((pad,), values.dtype)])
+    ccap = cap or s
+    sb = _default_splitter_bits(ndev)
+
+    def shard_fn(b, v):
+        b, v = b.reshape(-1), v.reshape(-1)
+        valid = _shard_valid(n, s, axis_name)
+        dest = _route_plan(b, valid, axis_name, ndev, sb)
+        (rb, rv), rvalid = _exchange_rows(
+            [b, v], dest, ndev, axis_name, ccap)
+        counts = jnp.zeros((ndev,), jnp.int32).at[dest].add(1, mode="drop")
+        recv_counts = jax.lax.all_to_all(
+            counts.reshape(ndev, 1), axis_name, split_axis=0, concat_axis=0
+        ).reshape(-1)
+        valid_count = jnp.sum(recv_counts)
+        # stable local sort: invalid rows sort last via a leading 0/1 limb;
+        # sort_struct is stable, so received (src, pos) order breaks ties
+        inv = jnp.where(rvalid, jnp.uint32(0), jnp.uint32(1))
+        (_, sbits), sv = sort_struct((inv, rb), rv)
+        st = stats_lib.shard_stats(
+            counts, valid_count, ccap, ndev, axis_name,
+            bytes_per_row=4 + values.dtype.itemsize)
+        return (sbits.reshape(1, -1), sv.reshape(1, -1),
+                valid_count.reshape(1), st)
+
+    out_b, out_v, counts, st = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name),
+                   stats_lib.stats_out_specs(axis_name)),
+        check_vma=False,
+    )(bits, values)
+    out_keys = twiddle.twiddle_out(
+        out_b.reshape(-1).astype(jnp.uint32), keys.dtype,
+        descending=descending)
+    return out_keys, out_v.reshape(-1), counts, st
+
+
 def reconstruct_sorted(out, counts, dtype, n, descending: bool = False):
     """Host-side helper: trim per-device pads and undo the twiddle (tests)."""
     import numpy as np

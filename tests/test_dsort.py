@@ -213,3 +213,41 @@ def test_round_based_exchange_sized_skewed(mesh):
         jnp.asarray(keys), mesh=mesh, cap=cap, rounds=4)
     got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_pairs_distributed_stable(mesh):
+    rng = np.random.default_rng(70)
+    n = (1 << 13) - 3
+    keys = rng.integers(0, 64, size=n).astype(np.uint32)  # duplicate-heavy
+    keys[:: 9] = 0xFFFFFFFF
+    vals = np.arange(n, dtype=np.int32)
+    ok, ov, counts, st = dsort.sort_pairs_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), mesh=mesh)
+    assert int(np.asarray(counts).sum()) == n
+    ok, ov, c = np.asarray(ok), np.asarray(ov), np.asarray(counts)
+    per = ok.shape[0] // NDEV
+    gk = np.concatenate([ok[d*per:d*per+c[d]] for d in range(NDEV)])
+    gv = np.concatenate([ov[d*per:d*per+c[d]] for d in range(NDEV)])
+    o = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[o])
+    np.testing.assert_array_equal(gv, vals[o])
+
+
+def test_sort_pairs_distributed_heavy_key_stable(mesh):
+    # 70%-mass key: spread across devices must preserve payload order
+    rng = np.random.default_rng(71)
+    n = 1 << 13
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[: int(0.7 * n)] = 0xCAFEBABE
+    rng.shuffle(keys)
+    vals = np.arange(n, dtype=np.int32)
+    ok, ov, counts, st = dsort.sort_pairs_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), mesh=mesh)
+    ok, ov, c = np.asarray(ok), np.asarray(ov), np.asarray(counts)
+    per = ok.shape[0] // NDEV
+    gk = np.concatenate([ok[d*per:d*per+c[d]] for d in range(NDEV)])
+    gv = np.concatenate([ov[d*per:d*per+c[d]] for d in range(NDEV)])
+    o = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[o])
+    np.testing.assert_array_equal(gv, vals[o])
+    assert c.max() / c.mean() <= 2.0

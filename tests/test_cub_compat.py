@@ -67,3 +67,18 @@ def test_segmented_keys_and_pairs():
     want_v = np.concatenate(
         [vv[i][np.argsort(kk[i], kind="stable")] for i in range(nseg)])
     np.testing.assert_array_equal(np.asarray(ov), want_v)
+
+
+def test_compat_float_keys_and_pairs_buffer():
+    rng = np.random.default_rng(6)
+    f = rng.standard_normal(8000).astype(np.float32)
+    f[:10] = -0.0
+    f[10:20] = 0.0
+    out = np.asarray(DeviceRadixSort.SortKeys(jnp.asarray(f)))
+    np.testing.assert_array_equal(out, np.sort(f))
+    v = np.arange(8000, dtype=np.int32)
+    kb, vb = DoubleBuffer(jnp.asarray(f)), DoubleBuffer(jnp.asarray(v))
+    DeviceRadixSort.SortPairsDescending(kb, vb)
+    o = np.argsort(-f, kind="stable")
+    np.testing.assert_array_equal(np.asarray(kb.current()), f[o])
+    np.testing.assert_array_equal(np.asarray(vb.current()), v[o])

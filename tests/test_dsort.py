@@ -251,3 +251,19 @@ def test_sort_pairs_distributed_heavy_key_stable(mesh):
     np.testing.assert_array_equal(gk, keys[o])
     np.testing.assert_array_equal(gv, vals[o])
     assert c.max() / c.mean() <= 2.0
+
+
+def test_sort_pairs_distributed_descending(mesh):
+    rng = np.random.default_rng(72)
+    n = 1 << 12
+    keys = rng.integers(0, 32, size=n).astype(np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    ok, ov, counts, st = dsort.sort_pairs_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), mesh=mesh, descending=True)
+    ok, ov, c = np.asarray(ok), np.asarray(ov), np.asarray(counts)
+    per = ok.shape[0] // NDEV
+    gk = np.concatenate([ok[d*per:d*per+c[d]] for d in range(NDEV)])
+    gv = np.concatenate([ov[d*per:d*per+c[d]] for d in range(NDEV)])
+    o = np.argsort(-keys.astype(np.int64), kind="stable")
+    np.testing.assert_array_equal(gk, keys[o])
+    np.testing.assert_array_equal(gv, vals[o])

@@ -34,6 +34,21 @@ from cuda.radixsort_tpu.ops.filter import filter_columns, selection_vector  # no
 from cuda.radixsort_tpu.ops.join import join  # noqa: F401
 from cuda.radixsort_tpu.ops.aggregate import groupby  # noqa: F401
 from cuda.radixsort_tpu.ops.segmented import segmented_sort  # noqa: F401
+from cuda.radixsort_tpu.ops.unique import (  # noqa: F401
+    distinct,
+    non_trivial_runs,
+    run_length_encode,
+    unique,
+)
+from cuda.radixsort_tpu.ops.merge import (  # noqa: F401
+    merge_sorted,
+    merge_sorted_pairs,
+)
+from cuda.radixsort_tpu.ops.histogram import (  # noqa: F401
+    digit_histogram,
+    histogram_even,
+    histogram_range,
+)
 from cuda.radixsort_tpu.ops.join import join_count, join_expand  # noqa: F401
 from cuda.radixsort_tpu.table import Table, table  # noqa: F401
 from cuda.radixsort_tpu import twiddle  # noqa: F401

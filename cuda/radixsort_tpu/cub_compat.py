@@ -173,3 +173,270 @@ def _check_items(keys, num_items):
         raise ValueError(
             f"num_items={num_items} != len(keys)={keys.shape[0]} — slice "
             "the array (XLA shapes are static)")
+
+
+# ---------------------------------------------------------------------------
+# The rest of the CUB device-wide suite. Selection/partition/unique ride the
+# framework's stable-partition compaction engine; scan/reduce map to XLA's
+# native cumsum/reduce (on TPU the compiler's fused scan IS the fast path —
+# re-implementing Blelchoch sweeps in Pallas would only be slower); merge and
+# histogram ride ops/merge.py and ops/histogram.py.
+#
+# Shape contract difference (platform, not hidden): CUB writes compacted
+# output through a pointer and a d_num_selected_out scalar; XLA shapes are
+# static, so every selecting op returns (padded_out, num_selected) — rows
+# [0, num_selected) are the result.
+# ---------------------------------------------------------------------------
+
+
+class DeviceSelect:
+    """Parity: cub::DeviceSelect (device_select.cuh)."""
+
+    @staticmethod
+    def Flagged(d_in, d_flags, num_items: int | None = None,
+                stream: Any = None, *, config=None):
+        from cuda.radixsort_tpu.ops.filter import filter_columns
+
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        (out,), count = filter_columns(d_flags.astype(bool), (x,),
+                                       config=config)
+        return _rewrap(out, d_in, wrapped), count
+
+    @staticmethod
+    def If(d_in, select_op, num_items: int | None = None,
+           stream: Any = None, *, config=None):
+        """select_op is a traceable elementwise predicate (array -> bool)."""
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        from cuda.radixsort_tpu.ops.filter import filter_columns
+
+        (out,), count = filter_columns(select_op(x), (x,), config=config)
+        return _rewrap(out, d_in, wrapped), count
+
+    @staticmethod
+    def Unique(d_in, num_items: int | None = None, stream: Any = None, *,
+               config=None):
+        from cuda.radixsort_tpu.ops.unique import unique
+
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        out, count = unique(x, config=config)
+        return _rewrap(out, d_in, wrapped), count
+
+    @staticmethod
+    def UniqueByKey(d_keys, d_values, num_items: int | None = None,
+                    stream: Any = None, *, config=None):
+        from cuda.radixsort_tpu.ops.filter import filter_columns
+        from cuda.radixsort_tpu.ops.unique import _run_starts
+
+        k, kw = _unwrap(d_keys)
+        v, vw = _unwrap(d_values)
+        _check_items(k, num_items)
+        (ok, ov), count = filter_columns(_run_starts(k), (k, v),
+                                         config=config)
+        return _rewrap(ok, d_keys, kw), _rewrap(ov, d_values, vw), count
+
+
+class DevicePartition:
+    """Parity: cub::DevicePartition (device_partition.cuh).
+
+    Stronger guarantee than CUB: both the selected prefix AND the rejected
+    suffix keep their relative input order (CUB reverses the rejects); the
+    rejected rows sit at [num_selected, N) in order, not reversed.
+    """
+
+    @staticmethod
+    def Flagged(d_in, d_flags, num_items: int | None = None,
+                stream: Any = None, *, config=None):
+        return DeviceSelect.Flagged(d_in, d_flags, num_items, stream,
+                                    config=config)
+
+    @staticmethod
+    def If(d_in, select_op, num_items: int | None = None,
+           stream: Any = None, *, config=None):
+        return DeviceSelect.If(d_in, select_op, num_items, stream,
+                               config=config)
+
+
+class DeviceRunLengthEncode:
+    """Parity: cub::DeviceRunLengthEncode (device_run_length_encode.cuh)."""
+
+    @staticmethod
+    def Encode(d_in, num_items: int | None = None, stream: Any = None, *,
+               config=None):
+        from cuda.radixsort_tpu.ops.unique import run_length_encode
+
+        x, _ = _unwrap(d_in)
+        _check_items(x, num_items)
+        return run_length_encode(x, config=config)
+
+    @staticmethod
+    def NonTrivialRuns(d_in, num_items: int | None = None,
+                       stream: Any = None, *, config=None):
+        from cuda.radixsort_tpu.ops.unique import non_trivial_runs
+
+        x, _ = _unwrap(d_in)
+        _check_items(x, num_items)
+        return non_trivial_runs(x, config=config)
+
+
+class DeviceHistogram:
+    """Parity: cub::DeviceHistogram (device_histogram.cuh). num_levels
+    follows CUB: bins = num_levels - 1."""
+
+    @staticmethod
+    def HistogramEven(d_samples, num_levels: int, lower_level, upper_level,
+                      num_samples: int | None = None, stream: Any = None):
+        from cuda.radixsort_tpu.ops.histogram import histogram_even
+
+        x, _ = _unwrap(d_samples)
+        _check_items(x, num_samples)
+        return histogram_even(x, num_levels - 1, lower_level, upper_level)
+
+    @staticmethod
+    def HistogramRange(d_samples, num_levels: int, d_levels,
+                       num_samples: int | None = None, stream: Any = None):
+        from cuda.radixsort_tpu.ops.histogram import histogram_range
+
+        x, _ = _unwrap(d_samples)
+        _check_items(x, num_samples)
+        return histogram_range(x, d_levels[:num_levels])
+
+
+class DeviceMerge:
+    """Parity: cub::DeviceMerge (device_merge.cuh), less-comparator
+    semantics (descending=True for greater)."""
+
+    @staticmethod
+    def MergeKeys(d_keys1, d_keys2, num_items1: int | None = None,
+                  num_items2: int | None = None, stream: Any = None, *,
+                  descending: bool = False, config=None):
+        from cuda.radixsort_tpu.ops.merge import merge_sorted
+
+        a, _ = _unwrap(d_keys1)
+        b, _ = _unwrap(d_keys2)
+        _check_items(a, num_items1)
+        _check_items(b, num_items2)
+        return merge_sorted(a, b, descending=descending, config=config)
+
+    @staticmethod
+    def MergePairs(d_keys1, d_values1, d_keys2, d_values2,
+                   num_items1: int | None = None,
+                   num_items2: int | None = None, stream: Any = None, *,
+                   descending: bool = False, config=None):
+        from cuda.radixsort_tpu.ops.merge import merge_sorted_pairs
+
+        a, _ = _unwrap(d_keys1)
+        b, _ = _unwrap(d_keys2)
+        _check_items(a, num_items1)
+        _check_items(b, num_items2)
+        return merge_sorted_pairs(a, d_values1, b, d_values2,
+                                  descending=descending, config=config)
+
+
+class DeviceScan:
+    """Parity: cub::DeviceScan (device_scan.cuh). XLA's fused cumulative
+    ops are the TPU-native spine scan — same role as RadixSortScanBinsKernel
+    writ device-wide."""
+
+    @staticmethod
+    def ExclusiveSum(d_in, num_items: int | None = None, stream: Any = None):
+        import jax.numpy as jnp
+
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        out = jnp.cumsum(x, dtype=x.dtype) - x
+        return _rewrap(out, d_in, wrapped)
+
+    @staticmethod
+    def InclusiveSum(d_in, num_items: int | None = None, stream: Any = None):
+        import jax.numpy as jnp
+
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        return _rewrap(jnp.cumsum(x, dtype=x.dtype), d_in, wrapped)
+
+    @staticmethod
+    def ExclusiveScan(d_in, scan_op, initial_value,
+                      num_items: int | None = None, stream: Any = None):
+        """scan_op: traceable associative binary op (e.g. jnp.minimum)."""
+        import jax
+        import jax.numpy as jnp
+
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        init = jnp.asarray(initial_value, x.dtype)
+        inc = jax.lax.associative_scan(scan_op, x)
+        out = jnp.concatenate([init[None], scan_op(init, inc[:-1])])
+        return _rewrap(out, d_in, wrapped)
+
+    @staticmethod
+    def InclusiveScan(d_in, scan_op, num_items: int | None = None,
+                      stream: Any = None):
+        import jax
+
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        return _rewrap(jax.lax.associative_scan(scan_op, x), d_in, wrapped)
+
+
+class DeviceReduce:
+    """Parity: cub::DeviceReduce (device_reduce.cuh)."""
+
+    @staticmethod
+    def Sum(d_in, num_items: int | None = None, stream: Any = None):
+        import jax.numpy as jnp
+
+        x, _ = _unwrap(d_in)
+        _check_items(x, num_items)
+        return jnp.sum(x)
+
+    @staticmethod
+    def Min(d_in, num_items: int | None = None, stream: Any = None):
+        import jax.numpy as jnp
+
+        x, _ = _unwrap(d_in)
+        _check_items(x, num_items)
+        return jnp.min(x)
+
+    @staticmethod
+    def Max(d_in, num_items: int | None = None, stream: Any = None):
+        import jax.numpy as jnp
+
+        x, _ = _unwrap(d_in)
+        _check_items(x, num_items)
+        return jnp.max(x)
+
+    @staticmethod
+    def ArgMin(d_in, num_items: int | None = None, stream: Any = None):
+        """Returns (index, value) — CUB's KeyValuePair, first occurrence."""
+        import jax.numpy as jnp
+
+        x, _ = _unwrap(d_in)
+        _check_items(x, num_items)
+        i = jnp.argmin(x)
+        return i, x[i]
+
+    @staticmethod
+    def ArgMax(d_in, num_items: int | None = None, stream: Any = None):
+        import jax.numpy as jnp
+
+        x, _ = _unwrap(d_in)
+        _check_items(x, num_items)
+        i = jnp.argmax(x)
+        return i, x[i]
+
+    @staticmethod
+    def Reduce(d_in, reduction_op, init,
+               num_items: int | None = None, stream: Any = None):
+        """reduction_op: traceable associative binary op; init its identity
+        (CUB passes init explicitly too)."""
+        import jax
+        import jax.numpy as jnp
+
+        x, _ = _unwrap(d_in)
+        _check_items(x, num_items)
+        total = jax.lax.associative_scan(reduction_op, x)[-1]
+        return reduction_op(jnp.asarray(init, x.dtype), total)
+

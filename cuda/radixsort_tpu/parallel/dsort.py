@@ -41,6 +41,19 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+def axis_size(mesh: Mesh, axis_name) -> int:
+    """Devices along `axis_name`, which may be one mesh axis ("x") or a
+    tuple of axes (("host", "chip")). Tuple axes flatten host-major —
+    matching lax collectives' linearization — so every distributed op here
+    runs unchanged over a multi-axis (e.g. DCN x ICI) mesh."""
+    if isinstance(axis_name, (tuple, list)):
+        size = 1
+        for a in axis_name:
+            size *= mesh.shape[a]
+        return size
+    return mesh.shape[axis_name]
+
+
 def _local_sort_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """Ascending unsigned sort of twiddled bits (device-local, collective-free).
 
@@ -183,9 +196,13 @@ def _route_plan(bits, valid, axis_name: str, ndev: int, sb: int,
             [jnp.sum(m.astype(jnp.int32)) for m in eq]
             + [jnp.sum(m.astype(jnp.int32)) for m in lt]
         )
-        allc = jax.lax.all_gather(lstats, axis_name)  # (ndev, 2H)
+        # gather spans every device on the axis (or tuple of axes): its row
+        # count can exceed ndev when routing at coarser granularity (the
+        # hierarchical sort routes to nh hosts while gathering over the whole
+        # host x chip mesh), so size the offset mask from the gather itself
+        allc = jax.lax.all_gather(lstats, axis_name)  # (n_gathered, 2H)
         my = jax.lax.axis_index(axis_name)
-        before = jnp.arange(ndev, dtype=jnp.int32)[:, None] < my
+        before = jnp.arange(allc.shape[0], dtype=jnp.int32)[:, None] < my
         myoff = jnp.sum(jnp.where(before, allc, 0), axis=0)[:_HEAVY_SLOTS]
         gstat = jnp.sum(allc, axis=0)
         gcnt = gstat[:_HEAVY_SLOTS]          # global count of candidate
@@ -237,7 +254,7 @@ def exchange_cap_for_sort(keys: jnp.ndarray, *, mesh: Mesh, axis_name: str = "x"
     """Phase one of the sized exchange: exact max (src,dst) lane occupancy
     for a sort_distributed of these keys. Histogram-only — no sort, no data
     movement beyond two tiny collectives."""
-    ndev = mesh.shape[axis_name]
+    ndev = axis_size(mesh, axis_name)
     n = keys.shape[0]
     s = -(-n // ndev)
     pad = s * ndev - n
@@ -406,7 +423,7 @@ def sort_distributed(keys: jnp.ndarray, *, mesh: Mesh, axis_name: str = "x",
     number of real keys per device. `jnp.concatenate` of the trimmed shards is
     the fully sorted array (see tests/test_dsort.py for the reconstruction).
     """
-    ndev = mesh.shape[axis_name]
+    ndev = axis_size(mesh, axis_name)
     n = keys.shape[0]
     s = -(-n // ndev)
     pad = s * ndev - n
@@ -458,7 +475,7 @@ def sort_pairs_distributed(keys: jnp.ndarray, values: jnp.ndarray, *,
         exchange_rows as _exchange_rows,
     )
 
-    ndev = mesh.shape[axis_name]
+    ndev = axis_size(mesh, axis_name)
     n = keys.shape[0]
     s = -(-n // ndev)
     pad = s * ndev - n
@@ -504,6 +521,88 @@ def sort_pairs_distributed(keys: jnp.ndarray, values: jnp.ndarray, *,
         out_b.reshape(-1).astype(jnp.uint32), keys.dtype,
         descending=descending)
     return out_keys, out_v.reshape(-1), counts, st
+
+
+def make_mesh_2d(hosts: int, chips: int, host_axis: str = "host",
+                 chip_axis: str = "chip") -> Mesh:
+    """(hosts x chips) mesh: outer axis = DCN (slower), inner = ICI."""
+    return jax.make_mesh((hosts, chips), (host_axis, chip_axis))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "host_axis", "chip_axis",
+                                             "host_cap", "chip_cap",
+                                             "descending"))
+def sort_distributed_hier(keys: jnp.ndarray, *, mesh: Mesh,
+                          host_axis: str = "host", chip_axis: str = "chip",
+                          host_cap: int | None = None,
+                          chip_cap: int | None = None,
+                          descending: bool = False):
+    """Hierarchical distributed sort over a (host x chip) mesh: keys cross
+    the slow inter-host links ONCE, in host-aggregated lanes, then the fast
+    intra-host links once.
+
+    Stage 1 routes every key to its owner HOST: splitters are computed from
+    the global histogram (psum over both axes) at host granularity, and the
+    all_to_all runs over `host_axis` only — each chip exchanges with its
+    same-position peers on other hosts, so the DCN sees H lanes of large
+    messages instead of the flattened exchange's H*C small ones (DCN is
+    latency/message-rate bound; ICI is not — "How to Scale Your Model"
+    mesh-layout recipe). Stage 2 is the standard chip-axis sort of the host's
+    key range (`sort_sharded_bits` — splitters from the host-local psum).
+
+    Output: device (h, c) holds the c-th chip range of the h-th host range —
+    globally sorted in linearized (host-major) device order, the same layout
+    as `sort_distributed` over the flattened tuple axis. Returns
+    (padded_sorted, valid_counts, (host_stats, chip_stats)).
+    """
+    both = (host_axis, chip_axis)
+    nh = mesh.shape[host_axis]
+    nc = mesh.shape[chip_axis]
+    ndev = nh * nc
+    n = keys.shape[0]
+    s = -(-n // ndev)
+    pad = s * ndev - n
+    bits = twiddle.twiddle_in(keys, descending=descending).astype(jnp.uint32)
+    if pad:
+        bits = jnp.concatenate([bits, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)])
+    hcap = host_cap or s
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    sb_host = _default_splitter_bits(nh)
+
+    def shard_fn(b):
+        b = b.reshape(-1)
+        valid = _shard_valid(n, s, both)
+        # ---- stage 1: to the owner host, over the DCN axis only ----
+        dest_h = _route_plan(b, valid, both, nh, sb_host)
+        send, counts_h = _make_padded_send(b, dest_h, nh, hcap, sentinel)
+        recv_counts = jax.lax.all_to_all(
+            counts_h.reshape(nh, 1), host_axis, split_axis=0, concat_axis=0
+        ).reshape(-1)
+        recv = jax.lax.all_to_all(
+            send, host_axis, split_axis=0, concat_axis=0
+        ).reshape(-1)
+        rvalid = (jnp.arange(hcap, dtype=jnp.int32)[None, :]
+                  < recv_counts[:, None]).reshape(-1)
+        st1 = stats_lib.shard_stats(
+            counts_h, jnp.sum(recv_counts), hcap, nh, both, bytes_per_row=4,
+            skew_ndev=ndev)
+        # ---- stage 2: chip-axis sort of the host's range, over ICI ----
+        out, valid_count, counts_c = sort_sharded_bits(
+            recv, chip_axis, nc, cap=chip_cap, valid=rvalid)
+        st2 = stats_lib.shard_stats(
+            counts_c, valid_count, chip_cap or nh * hcap, nc, both,
+            bytes_per_row=4, skew_ndev=ndev)
+        return out, valid_count.reshape(1), st1, st2
+
+    out, counts, st1, st2 = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(both),
+        out_specs=(P(both), P(both), stats_lib.stats_out_specs(both),
+                   stats_lib.stats_out_specs(both)),
+        check_vma=False,
+    )(bits)
+    return out, counts, (st1, st2)
 
 
 def reconstruct_sorted(out, counts, dtype, n, descending: bool = False):

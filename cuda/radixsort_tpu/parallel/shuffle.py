@@ -32,6 +32,7 @@ from cuda.radixsort_tpu.ops.aggregate import groupby as local_groupby
 from cuda.radixsort_tpu.ops.join import join as local_join
 from cuda.radixsort_tpu.ops.partition import hash32
 from cuda.radixsort_tpu.parallel import stats as stats_lib
+from cuda.radixsort_tpu.parallel.dsort import axis_size
 
 try:
     from jax import shard_map
@@ -119,7 +120,7 @@ def groupby_distributed(
     """
     if agg not in ("sum", "count", "min", "max"):
         raise ValueError(agg)
-    ndev = mesh.shape[axis_name]
+    ndev = axis_size(mesh, axis_name)
     n = keys.shape[0]
     if n == 0:
         raise ValueError("groupby_distributed needs at least one row")
@@ -195,7 +196,7 @@ def groupby_exchange_cap(
     """Phase one of the sized groupby exchange: exact max number of partial
     rows any device sends to any other (see dsort.sort_distributed_sized for
     the protocol rationale)."""
-    ndev = mesh.shape[axis_name]
+    ndev = axis_size(mesh, axis_name)
     n = keys.shape[0]
     if n == 0:
         raise ValueError("groupby_exchange_cap needs at least one row")
@@ -284,7 +285,7 @@ def join_distributed_broadcast(
     stats) concatenated over the mesh axis. Row counts need not divide the
     mesh.
     """
-    ndev = mesh.shape[axis_name]
+    ndev = axis_size(mesh, axis_name)
     nb, npr = build_keys.shape[0], probe_keys.shape[0]
     sb, sp = -(-nb // ndev), -(-npr // ndev)
     build_keys = _pad_to(build_keys, sb * ndev)
@@ -352,7 +353,7 @@ def join_exchange_caps(
 ):
     """Phase one of the sized hash join: exact max (src,dst) lane occupancy
     for the build and probe exchanges (two tiny collectives, no data moved)."""
-    ndev = mesh.shape[axis_name]
+    ndev = axis_size(mesh, axis_name)
     nb, npr = build_keys.shape[0], probe_keys.shape[0]
     sb, sp = -(-nb // ndev), -(-npr // ndev)
     build_keys = _pad_to(build_keys, sb * ndev)
@@ -399,7 +400,7 @@ def join_distributed_hash(
     the keys hashing to d. Caps default to the full shard size (always
     correct); use join_distributed_sized for measured tight caps.
     """
-    ndev = mesh.shape[axis_name]
+    ndev = axis_size(mesh, axis_name)
     nb, npr = build_keys.shape[0], probe_keys.shape[0]
     sb, sp = -(-nb // ndev), -(-npr // ndev)
     build_keys = _pad_to(build_keys, sb * ndev)

@@ -44,16 +44,20 @@ class ExchangeStats(NamedTuple):
 
 
 def shard_stats(send_counts, rows_out, cap: int, ndev: int, axis_name: str,
-                bytes_per_row: int):
+                bytes_per_row: int, skew_ndev: int | None = None):
     """Build the per-shard slice of ExchangeStats inside shard_map.
 
     send_counts: (ndev,) rows this shard sends to each destination (or None
     when the op broadcasts instead of exchanging — wire bytes then must be
     passed precomputed via bytes_per_row with send_counts=None semantics).
     rows_out: () valid rows this shard owns after the op.
+    skew_ndev: device count for the skew denominator when it differs from
+    the exchange lane count `ndev` (hierarchical exchanges: lanes span one
+    mesh axis, skew spans the whole mesh).
     Returns an ExchangeStats whose array fields are shaped (1,) / () for
     out_specs concatenation over the mesh axis.
     """
+    skew_ndev = ndev if skew_ndev is None else skew_ndev
     rows_out = jnp.asarray(rows_out, jnp.int32)
     if send_counts is None:
         rows_in = rows_out
@@ -66,7 +70,7 @@ def shard_stats(send_counts, rows_out, cap: int, ndev: int, axis_name: str,
     # skew over the mesh: psum of rows_out gives the total; pmax the max
     total = jax.lax.psum(rows_out, axis_name)
     mx = jax.lax.pmax(rows_out, axis_name)
-    skew = mx.astype(jnp.float32) * ndev / jnp.maximum(
+    skew = mx.astype(jnp.float32) * skew_ndev / jnp.maximum(
         total.astype(jnp.float32), 1.0)
     return ExchangeStats(
         rows_in=rows_in.reshape(1),

@@ -24,6 +24,7 @@ from cuda.radixsort_tpu import config as config_lib
 from cuda.radixsort_tpu.ops.filter import filter_columns
 from cuda.radixsort_tpu.ops.join import join as join_op
 from cuda.radixsort_tpu.ops.sort import sort_pairs
+from cuda.radixsort_tpu.parallel.dsort import axis_size
 
 try:
     from jax import shard_map
@@ -125,7 +126,7 @@ def filter_sort_join_distributed(
             _owner_of_keys, exchange_rows,
         )
 
-        ndev = mesh.shape[axis_name]
+        ndev = axis_size(mesh, axis_name)
 
         def shard_fn(pk, pv, bk, bv):
             pk, pv = pk.reshape(-1), pv.reshape(-1)

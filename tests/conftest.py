@@ -9,8 +9,12 @@ is present and TPUSORT_TEST_TPU=1 is set.
 import os
 import sys
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import. FORCE cpu (not setdefault): the session env
+# may carry JAX_PLATFORMS=axon (the TPU tunnel), and initializing that backend
+# from every test process is slow — and hangs the whole suite in
+# make_c_api_client when the tunnel is down. Hardware runs opt in explicitly.
+if os.environ.get("TPUSORT_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +24,13 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+if os.environ.get("TPUSORT_TEST_TPU") != "1":
+    # The env var alone is not enough: the image's sitecustomize registers
+    # the axon PJRT plugin at interpreter start and switches jax_platforms
+    # to "axon,cpu"; a config.update here (before any backend init) wins,
+    # keeping the suite off the tunnel entirely.
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)  # 64-bit keys are first-class here.
 

@@ -267,3 +267,89 @@ def test_sort_pairs_distributed_descending(mesh):
     o = np.argsort(-keys.astype(np.int64), kind="stable")
     np.testing.assert_array_equal(gk, keys[o])
     np.testing.assert_array_equal(gv, vals[o])
+
+
+# ------------------------------------------------- hierarchical (host x chip)
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return dsort.make_mesh_2d(2, NDEV // 2)
+
+
+@pytest.mark.parametrize("n", [1024, (1 << 14) - 7])
+def test_hier_sort_u32(mesh2d, n):
+    rng = np.random.default_rng(n)
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[:: 11] = 0xFFFFFFFF  # sentinel-valued real keys must survive
+    out, counts, (st1, st2) = dsort.sort_distributed_hier(
+        jnp.asarray(keys), mesh=mesh2d)
+    assert int(np.asarray(counts).sum()) == n
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))
+    # stage-1 wire bytes are per-host lanes; rows conserved end to end
+    assert int(np.asarray(st2.rows_out).sum()) == n
+
+
+def test_hier_sort_matches_flat_tuple_axis(mesh2d):
+    # flattened sort over the SAME 2D mesh via a tuple axis — the layout
+    # contract says both orders agree (host-major linearization)
+    rng = np.random.default_rng(81)
+    n = (1 << 13) - 3
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    out_f, counts_f, _ = dsort.sort_distributed(
+        jnp.asarray(keys), mesh=mesh2d, axis_name=("host", "chip"))
+    got_f = dsort.reconstruct_sorted(out_f, counts_f, jnp.uint32, n)
+    out_h, counts_h, _ = dsort.sort_distributed_hier(
+        jnp.asarray(keys), mesh=mesh2d)
+    got_h = dsort.reconstruct_sorted(out_h, counts_h, jnp.uint32, n)
+    np.testing.assert_array_equal(got_f, np.sort(keys))
+    np.testing.assert_array_equal(got_h, got_f)
+
+
+def test_hier_sort_descending_f32(mesh2d):
+    rng = np.random.default_rng(82)
+    n = 4096
+    f32 = rng.standard_normal(n).astype(np.float32)
+    f32[: 32] = -0.0
+    out, counts, _ = dsort.sort_distributed_hier(
+        jnp.asarray(f32), mesh=mesh2d, descending=True)
+    got = dsort.reconstruct_sorted(out, counts, jnp.float32, n,
+                                   descending=True)
+    np.testing.assert_array_equal(got, np.sort(f32)[::-1])
+
+
+def test_hier_sort_skewed_balance(mesh2d):
+    # 70%-mass key must spread across the full 8-device mesh, not one host
+    rng = np.random.default_rng(83)
+    n = 1 << 14
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[: int(0.7 * n)] = 0xBEEFCAFE
+    rng.shuffle(keys)
+    out, counts, _ = dsort.sort_distributed_hier(jnp.asarray(keys),
+                                                 mesh=mesh2d)
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))
+    c = np.asarray(counts)
+    assert c.max() / c.mean() <= 2.0
+
+
+def test_groupby_distributed_tuple_axis(mesh2d):
+    from cuda.radixsort_tpu.parallel import shuffle
+
+    rng = np.random.default_rng(84)
+    n = (1 << 12) - 9
+    keys = rng.integers(0, 100, size=n).astype(np.uint32)
+    vals = rng.integers(0, 1000, size=n).astype(np.int32)
+    uk, uv, counts, _ = shuffle.groupby_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), mesh=mesh2d,
+        axis_name=("host", "chip"), agg="sum")
+    uk, uv, c = np.asarray(uk), np.asarray(uv), np.asarray(counts)
+    per = uk.shape[0] // NDEV
+    gk = np.concatenate([uk[d*per:d*per+c[d]] for d in range(NDEV)])
+    gv = np.concatenate([uv[d*per:d*per+c[d]] for d in range(NDEV)])
+    want_k = np.unique(keys)
+    want_v = np.array([vals[keys == k].sum() for k in want_k], np.int64)
+    order = np.argsort(gk, kind="stable")
+    np.testing.assert_array_equal(np.sort(gk), want_k)
+    np.testing.assert_array_equal(gv[order].astype(np.int64), want_v)

@@ -88,8 +88,10 @@ def engine_passes(logn: int, log_tile: int = 16, log_merge: int | None = None,
 def main():
     import cuda.radixsort_tpu as rs
 
+    logn = N.bit_length() - 1
+    assert 1 << logn == N, "BENCH_N must be a power of two"
     key = jax.random.PRNGKey(0)
-    keys = gen_chunked(24, key)
+    keys = gen_chunked(logn, key)
 
     # keep the chain honest: output feeds next input (rotate bits so the data
     # stays uniformly random and the sort can't be elided)
@@ -112,7 +114,7 @@ def main():
         "vs_baseline": round(t_base / t_ours, 4),
         "sol_pct_3kernel": round(100.0 * keys_per_s / 17e9, 2),
         "hbm_frac": round(
-            engine_passes(24) * 8 * N / t_ours / (HBM_GBPS * 1e9), 3),
+            engine_passes(logn) * 8 * N / t_ours / (HBM_GBPS * 1e9), 3),
     }
 
     if not SKIP_1B:

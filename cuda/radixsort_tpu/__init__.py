@@ -50,6 +50,10 @@ from cuda.radixsort_tpu.ops.histogram import (  # noqa: F401
     histogram_range,
 )
 from cuda.radixsort_tpu.ops.join import join_count, join_expand  # noqa: F401
+from cuda.radixsort_tpu.ops.comparator_sort import (  # noqa: F401
+    comparator_argsort,
+    comparator_sort,
+)
 from cuda.radixsort_tpu.table import Table, table  # noqa: F401
 from cuda.radixsort_tpu import twiddle  # noqa: F401
 

@@ -440,3 +440,66 @@ class DeviceReduce:
         total = jax.lax.associative_scan(reduction_op, x)[-1]
         return reduction_op(jnp.asarray(init, x.dtype), total)
 
+
+class DeviceMergeSort:
+    """Parity: cub::DeviceMergeSort (device_merge_sort.cuh) — the
+    comparison-sort companion of DeviceRadixSort: custom comparators and
+    struct keys.
+
+    Routing mirrors thrust smart_sort (THRUST sort.h:310-337): a less/greater
+    marker on a plain array takes the radix/bitonic engine; everything else
+    takes the comparator network (ops/comparator_sort.py). `SortKeysCopy` /
+    `StableSortKeysCopy` alias the plain entry points — a functional backend
+    always returns a copy."""
+
+    @staticmethod
+    def SortKeys(d_keys, num_items: int | None = None, compare_op=None,
+                 stream: Any = None, *, stable: bool = False, config=None):
+        from cuda.radixsort_tpu.ops.comparator_sort import (
+            comparator_sort, less, primitive_comparator)
+
+        comp = less if compare_op is None else compare_op
+        keys, wrapped = _unwrap(d_keys)
+        prim, desc = primitive_comparator(comp)
+        if prim and hasattr(keys, "dtype"):
+            _check_items(keys, num_items)
+            out = _sort(keys, descending=desc, config=config)
+        else:
+            out = comparator_sort(keys, comp, stable=stable)
+        return _rewrap(out, d_keys, wrapped)
+
+    @staticmethod
+    def StableSortKeys(d_keys, num_items: int | None = None, compare_op=None,
+                       stream: Any = None, *, config=None):
+        return DeviceMergeSort.SortKeys(d_keys, num_items, compare_op,
+                                        stream, stable=True, config=config)
+
+    SortKeysCopy = SortKeys
+    StableSortKeysCopy = StableSortKeys
+
+    @staticmethod
+    def SortPairs(d_keys, d_values, num_items: int | None = None,
+                  compare_op=None, stream: Any = None, *,
+                  stable: bool = False, config=None):
+        from cuda.radixsort_tpu.ops.comparator_sort import (
+            comparator_sort, less, primitive_comparator)
+
+        comp = less if compare_op is None else compare_op
+        keys, kw = _unwrap(d_keys)
+        values, vw = _unwrap(d_values)
+        prim, desc = primitive_comparator(comp)
+        if prim and hasattr(keys, "dtype") and hasattr(values, "dtype"):
+            _check_items(keys, num_items)
+            ok, ov = _sort_pairs(keys, values, descending=desc,
+                                 config=config)
+        else:
+            ok, ov = comparator_sort(keys, comp, values=values,
+                                     stable=stable)
+        return _rewrap(ok, d_keys, kw), _rewrap(ov, d_values, vw)
+
+    @staticmethod
+    def StableSortPairs(d_keys, d_values, num_items: int | None = None,
+                        compare_op=None, stream: Any = None, *, config=None):
+        return DeviceMergeSort.SortPairs(d_keys, d_values, num_items,
+                                         compare_op, stream, stable=True,
+                                         config=config)

@@ -1,0 +1,360 @@
+"""Thrust-shaped container API — the reference stack's L5 layer.
+
+Reference parity: `thrust::sort` / `sort_by_key` / `stable_sort*` and their
+companion algorithms, as dispatched by thrust's CUDA backend (THRUST
+system/cuda/detail/sort.h). The routing rule is transplanted verbatim in
+spirit: `can_use_primitive_sort` (sort.h:310-326) — an arithmetic key under
+`less`/`greater` — takes the radix/bitonic engine; any other comparator
+takes the comparison-sort path (here the comparator network of
+`ops/comparator_sort.py`, thrust's merge sort, sort.h:333-337).
+
+Platform differences, stated not hidden:
+  * functional: every algorithm returns its result instead of mutating a
+    `device_vector` in place;
+  * compacting algorithms (`copy_if`, `unique`, `partition`, ...) return
+    ``(padded_output, count)`` — XLA shapes are static, so the valid prefix
+    plus a count plays the role of thrust's returned end-iterator;
+  * execution policies/streams are unnecessary (XLA schedules) and omitted.
+
+Usage:
+
+    from cuda.radixsort_tpu import thrust_compat as thrust
+
+    s = thrust.sort(keys)
+    k, v = thrust.sort_by_key(keys, values)
+    s = thrust.sort(recs, comp=lambda a, b: a["score"] > b["score"])
+    kept, n = thrust.copy_if(x, lambda v: v % 3 == 0)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from cuda.radixsort_tpu.ops.comparator_sort import (  # noqa: F401
+    Greater,
+    Less,
+    comparator_sort,
+    greater,
+    less,
+    primitive_comparator,
+)
+
+
+# ---------------------------------------------------------------------------
+# sort family (THRUST sort.h smart_sort)
+# ---------------------------------------------------------------------------
+
+
+def sort(keys, comp: Callable = less, *, config=None):
+    """thrust::sort. Stable on the primitive path (radix/bitonic engines are
+    stable); comparator path leaves equal keys in unspecified order, exactly
+    thrust's contract for plain `sort`."""
+    prim, desc = primitive_comparator(comp)
+    if prim and hasattr(keys, "dtype"):
+        from cuda.radixsort_tpu.ops.sort import sort as _sort
+
+        return _sort(keys, descending=desc, config=config)
+    return comparator_sort(keys, comp, stable=False)
+
+
+def stable_sort(keys, comp: Callable = less, *, config=None):
+    """thrust::stable_sort."""
+    prim, desc = primitive_comparator(comp)
+    if prim and hasattr(keys, "dtype"):
+        from cuda.radixsort_tpu.ops.sort import sort as _sort
+
+        return _sort(keys, descending=desc, config=config)
+    return comparator_sort(keys, comp, stable=True)
+
+
+def sort_by_key(keys, values, comp: Callable = less, *, config=None):
+    """thrust::sort_by_key → (sorted_keys, permuted_values). `values` may be
+    a pytree of equal-length arrays (a zip_iterator of columns)."""
+    return _sort_by_key(keys, values, comp, stable=False, config=config)
+
+
+def stable_sort_by_key(keys, values, comp: Callable = less, *, config=None):
+    """thrust::stable_sort_by_key."""
+    return _sort_by_key(keys, values, comp, stable=True, config=config)
+
+
+def _sort_by_key(keys, values, comp, *, stable, config):
+    prim, desc = primitive_comparator(comp)
+    if prim and hasattr(keys, "dtype"):
+        if hasattr(values, "dtype") and values.ndim == 1:
+            from cuda.radixsort_tpu.ops.sort import sort_pairs
+
+            return sort_pairs(keys, values, descending=desc, config=config)
+        # zip_iterator analogue: permute every payload column by the argsort
+        from cuda.radixsort_tpu.ops.sort import argsort
+
+        perm = argsort(keys, descending=desc, config=config)
+        ok = jnp.take(keys, perm)
+        ov = jax.tree_util.tree_map(
+            lambda v: jnp.take(v, perm, axis=0), values)
+        return ok, ov
+    return comparator_sort(keys, comp, values=values, stable=stable)
+
+
+def is_sorted(keys, comp: Callable = less) -> jnp.ndarray:
+    """thrust::is_sorted — no adjacent pair strictly out of order."""
+    if hasattr(keys, "dtype"):
+        a, b = keys[:-1], keys[1:]
+    else:
+        a = jax.tree_util.tree_map(lambda x: x[:-1], keys)
+        b = jax.tree_util.tree_map(lambda x: x[1:], keys)
+    return jnp.logical_not(jnp.any(comp(b, a)))
+
+
+def is_sorted_until(keys, comp: Callable = less) -> jnp.ndarray:
+    """thrust::is_sorted_until — length of the sorted prefix."""
+    if hasattr(keys, "dtype"):
+        a, b = keys[:-1], keys[1:]
+    else:
+        a = jax.tree_util.tree_map(lambda x: x[:-1], keys)
+        b = jax.tree_util.tree_map(lambda x: x[1:], keys)
+    bad = comp(b, a)
+    n = bad.shape[0] + 1
+    first_bad = jnp.argmax(bad)  # 0 if none — disambiguate with any()
+    return jnp.where(jnp.any(bad), first_bad + 1, n).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# merge / set-style companions
+# ---------------------------------------------------------------------------
+
+
+def merge(a, b, comp: Callable = less, *, config=None):
+    """thrust::merge of two sorted ranges (primitive comparators)."""
+    from cuda.radixsort_tpu.ops.merge import merge_sorted
+
+    prim, desc = primitive_comparator(comp)
+    if not prim:
+        raise NotImplementedError(
+            "thrust_compat.merge supports less/greater; for custom "
+            "comparators sort the concatenation with stable_sort")
+    return merge_sorted(a, b, descending=desc, config=config)
+
+
+def merge_by_key(a_keys, a_values, b_keys, b_values, comp: Callable = less,
+                 *, config=None):
+    """thrust::merge_by_key (stable: ties keep a-before-b)."""
+    from cuda.radixsort_tpu.ops.merge import merge_sorted_pairs
+
+    prim, desc = primitive_comparator(comp)
+    if not prim:
+        raise NotImplementedError(
+            "thrust_compat.merge_by_key supports less/greater")
+    return merge_sorted_pairs(a_keys, a_values, b_keys, b_values,
+                              descending=desc, config=config)
+
+
+def unique(keys, *, config=None):
+    """thrust::unique (consecutive dedup) → (padded_keys, count)."""
+    from cuda.radixsort_tpu.ops.unique import unique as _unique
+
+    return _unique(keys, config=config)
+
+
+def unique_by_key(keys, values, *, config=None):
+    """thrust::unique_by_key → (keys, values, count)."""
+    from cuda.radixsort_tpu.cub_compat import DeviceSelect
+
+    return DeviceSelect.UniqueByKey(keys, values, config=config)
+
+
+def unique_count(keys) -> jnp.ndarray:
+    """thrust::unique_count — number of consecutive-equal runs."""
+    from cuda.radixsort_tpu.ops.unique import _run_starts
+
+    return jnp.sum(_run_starts(keys).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# partition / selection
+# ---------------------------------------------------------------------------
+
+
+def copy_if(x, pred: Callable, *, config=None):
+    """thrust::copy_if → (padded_kept_rows, count)."""
+    from cuda.radixsort_tpu.ops.filter import filter_columns
+
+    (out,), count = filter_columns(pred(x), (x,), config=config)
+    return out, count
+
+
+def remove_if(x, pred: Callable, *, config=None):
+    """thrust::remove_if → (padded_kept_rows, count) of rows NOT matching."""
+    from cuda.radixsort_tpu.ops.filter import filter_columns
+
+    (out,), count = filter_columns(jnp.logical_not(pred(x)), (x,),
+                                   config=config)
+    return out, count
+
+
+def stable_partition(x, pred: Callable, *, config=None):
+    """thrust::stable_partition → (reordered, num_true): rows [0, num_true)
+    satisfy pred, rows [num_true, n) do not; BOTH halves keep input order
+    (stronger than thrust, which only guarantees it for stable_partition)."""
+    from cuda.radixsort_tpu.ops.filter import filter_columns
+
+    m = pred(x)
+    (head,), count = filter_columns(m, (x,), config=config)
+    (tail,), _ = filter_columns(jnp.logical_not(m), (x,), config=config)
+    n = x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    return jnp.where(idx < count, head, jnp.take(tail, idx - count)), count
+
+
+partition = stable_partition  # our partition is always the stable one
+
+
+def partition_copy(x, pred: Callable, *, config=None):
+    """thrust::partition_copy → (true_rows, false_rows, num_true)."""
+    from cuda.radixsort_tpu.ops.filter import filter_columns
+
+    m = pred(x)
+    (head,), count = filter_columns(m, (x,), config=config)
+    (tail,), _ = filter_columns(jnp.logical_not(m), (x,), config=config)
+    return head, tail, count
+
+
+def partition_point(x, pred: Callable) -> jnp.ndarray:
+    """thrust::partition_point on an already-partitioned range."""
+    m = pred(x).astype(jnp.int32)
+    return jnp.sum(m)
+
+
+# ---------------------------------------------------------------------------
+# reductions / scans / misc (the container-API staples around the sorts)
+# ---------------------------------------------------------------------------
+
+
+def reduce(x, init=None, binary_op: Callable | None = None):
+    """thrust::reduce (associative binary_op; defaults to plus/0)."""
+    if binary_op is None:
+        total = jnp.sum(x)
+        return total if init is None else total + jnp.asarray(init, x.dtype)
+    total = jax.lax.associative_scan(binary_op, x)[-1]
+    if init is None:
+        return total
+    return binary_op(jnp.asarray(init, x.dtype), total)
+
+
+def reduce_by_key(keys, values, binary_op: str = "sum", *, config=None):
+    """thrust::reduce_by_key — reduce runs of CONSECUTIVE equal keys
+    (run-based, not a global group-by; sort first for that, or use
+    `ops.aggregate.groupby`). binary_op: "sum" | "min" | "max" | "prod".
+
+    Returns (unique_keys, reduced_values, num_runs), padded past num_runs.
+    """
+    from cuda.radixsort_tpu.ops.unique import _run_starts, unique as _unique
+
+    seg_reduce = {
+        "sum": jax.ops.segment_sum,
+        "min": jax.ops.segment_min,
+        "max": jax.ops.segment_max,
+        "prod": jax.ops.segment_prod,
+    }[binary_op]
+    starts = _run_starts(keys)
+    run_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    uk, count = _unique(keys, config=config)
+    red = seg_reduce(values, run_id, num_segments=keys.shape[0])
+    return uk, red, count
+
+
+def inclusive_scan(x, binary_op: Callable | None = None):
+    """thrust::inclusive_scan."""
+    if binary_op is None:
+        return jnp.cumsum(x, dtype=x.dtype)
+    return jax.lax.associative_scan(binary_op, x)
+
+
+def exclusive_scan(x, init=0, binary_op: Callable | None = None):
+    """thrust::exclusive_scan."""
+    if binary_op is None:
+        return jnp.cumsum(x, dtype=x.dtype) - x + jnp.asarray(init, x.dtype)
+    init = jnp.asarray(init, x.dtype)
+    inc = jax.lax.associative_scan(binary_op, x)
+    return jnp.concatenate([init[None], binary_op(init, inc[:-1])])
+
+
+def count(x, value) -> jnp.ndarray:
+    """thrust::count."""
+    return jnp.sum((x == value).astype(jnp.int32))
+
+
+def count_if(x, pred: Callable) -> jnp.ndarray:
+    """thrust::count_if."""
+    return jnp.sum(pred(x).astype(jnp.int32))
+
+
+def gather(index_map, src):
+    """thrust::gather — out[i] = src[map[i]]."""
+    return jnp.take(src, index_map, axis=0)
+
+
+def scatter(src, index_map, out_len: int):
+    """thrust::scatter — out[map[i]] = src[i] (map must be a permutation
+    into [0, out_len); XLA lowers this to its native scatter)."""
+    out = jnp.zeros((out_len,) + src.shape[1:], src.dtype)
+    return out.at[index_map].set(src)
+
+
+def sequence(n: int, init=0, step=1, dtype=jnp.int32):
+    """thrust::sequence."""
+    return jnp.asarray(init, dtype) + jnp.arange(n, dtype=dtype) * \
+        jnp.asarray(step, dtype)
+
+
+def min_element(x, comp: Callable = less) -> jnp.ndarray:
+    """thrust::min_element → index of the first minimum."""
+    prim, desc = primitive_comparator(comp)
+    if prim:
+        return (jnp.argmax(x) if desc else jnp.argmin(x)).astype(jnp.int32)
+    from cuda.radixsort_tpu.ops.comparator_sort import comparator_argsort
+
+    return comparator_argsort(x, comp, stable=True)[0]
+
+
+def max_element(x, comp: Callable = less) -> jnp.ndarray:
+    """thrust::max_element → index of the first maximum."""
+    prim, desc = primitive_comparator(comp)
+    if prim:
+        return (jnp.argmin(x) if desc else jnp.argmax(x)).astype(jnp.int32)
+    from cuda.radixsort_tpu.ops.comparator_sort import comparator_argsort
+
+    # stable sort under the REVERSED order puts the first maximum at 0
+    return comparator_argsort(x, lambda a, b: comp(b, a), stable=True)[0]
+
+
+def lower_bound(sorted_x, queries, comp: Callable = less) -> jnp.ndarray:
+    """thrust::lower_bound (vectorized searchsorted, primitive orders)."""
+    return _bound(sorted_x, queries, comp, "left")
+
+
+def upper_bound(sorted_x, queries, comp: Callable = less) -> jnp.ndarray:
+    """thrust::upper_bound."""
+    return _bound(sorted_x, queries, comp, "right")
+
+
+def binary_search(sorted_x, queries, comp: Callable = less) -> jnp.ndarray:
+    """thrust::binary_search — membership flags."""
+    lo = _bound(sorted_x, queries, comp, "left")
+    hi = _bound(sorted_x, queries, comp, "right")
+    return hi > lo
+
+
+def _bound(sorted_x, queries, comp, side):
+    prim, desc = primitive_comparator(comp)
+    if not prim:
+        raise NotImplementedError("bounds support less/greater comparators")
+    if desc:
+        flip = {"left": "right", "right": "left"}[side]
+        rev = sorted_x[::-1]
+        pos = jnp.searchsorted(rev, queries, side=flip)
+        return (sorted_x.shape[0] - pos).astype(jnp.int32)
+    return jnp.searchsorted(sorted_x, queries, side=side).astype(jnp.int32)

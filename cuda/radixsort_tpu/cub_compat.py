@@ -441,6 +441,115 @@ class DeviceReduce:
         return reduction_op(jnp.asarray(init, x.dtype), total)
 
 
+class DeviceSegmentedReduce:
+    """Parity: cub::DeviceSegmentedReduce (device_segmented_reduce.cuh).
+    Offsets follow CUB: segment i = [begin[i], end[i]); the contiguous case
+    passes end=None meaning end[i] = begin[i+1] (begin has num_segments+1
+    entries). Empty segments yield the op's identity (CUB: initial value)."""
+
+    @staticmethod
+    def _seg(d_in, num_segments, d_begin, d_end, reducer):
+        import jax.numpy as jnp
+
+        x, _ = _unwrap(d_in)
+        n = x.shape[0]
+        ns = num_segments or (d_begin.shape[0] - 1)
+        begin = d_begin[:ns].astype(jnp.int32)
+        end = (begin if ns == 0 else
+               (d_begin[1:ns + 1] if d_end is None else
+                d_end[:ns])).astype(jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        # empty segments (begin >= end) share begins with real ones and must
+        # not win the searchsorted attribution: push them past every element
+        key = jnp.where(begin >= end, jnp.int32(n + 1), begin)
+        order = jnp.argsort(key)
+        pos = jnp.searchsorted(jnp.take(key, order), idx,
+                               side="right").astype(jnp.int32) - 1
+        s = jnp.take(order, jnp.clip(pos, 0, ns - 1))
+        # elements before the first segment or in an inter-segment gap -> ns
+        inside = (pos >= 0) & (idx >= begin[s]) & (idx < end[s])
+        return reducer(x, jnp.where(inside, s, jnp.int32(ns)),
+                       num_segments=ns + 1)[:ns]
+
+    @staticmethod
+    def Sum(d_in, num_segments: int | None = None, d_begin_offsets=None,
+            d_end_offsets=None, stream: Any = None):
+        import jax
+
+        return DeviceSegmentedReduce._seg(d_in, num_segments,
+                                          d_begin_offsets, d_end_offsets,
+                                          jax.ops.segment_sum)
+
+    @staticmethod
+    def Min(d_in, num_segments: int | None = None, d_begin_offsets=None,
+            d_end_offsets=None, stream: Any = None):
+        import jax
+
+        return DeviceSegmentedReduce._seg(d_in, num_segments,
+                                          d_begin_offsets, d_end_offsets,
+                                          jax.ops.segment_min)
+
+    @staticmethod
+    def Max(d_in, num_segments: int | None = None, d_begin_offsets=None,
+            d_end_offsets=None, stream: Any = None):
+        import jax
+
+        return DeviceSegmentedReduce._seg(d_in, num_segments,
+                                          d_begin_offsets, d_end_offsets,
+                                          jax.ops.segment_max)
+
+
+class DeviceSegmentedSort:
+    """Parity: cub::DeviceSegmentedSort (device_segmented_sort.cuh) — the
+    small-segment-optimized cousin of DeviceSegmentedRadixSort. Here both
+    map to the same segment-id-limb sort (ops/segmented.py), which is
+    already stable, so Sort* == StableSort*."""
+
+    SortKeys = staticmethod(DeviceSegmentedRadixSort.SortKeys)
+    SortPairs = staticmethod(DeviceSegmentedRadixSort.SortPairs)
+    SortKeysDescending = staticmethod(
+        DeviceSegmentedRadixSort.SortKeysDescending)
+    SortPairsDescending = staticmethod(
+        DeviceSegmentedRadixSort.SortPairsDescending)
+    StableSortKeys = staticmethod(DeviceSegmentedRadixSort.SortKeys)
+    StableSortPairs = staticmethod(DeviceSegmentedRadixSort.SortPairs)
+    StableSortKeysDescending = staticmethod(
+        DeviceSegmentedRadixSort.SortKeysDescending)
+    StableSortPairsDescending = staticmethod(
+        DeviceSegmentedRadixSort.SortPairsDescending)
+
+
+class DeviceAdjacentDifference:
+    """Parity: cub::DeviceAdjacentDifference (device_adjacent_difference.cuh).
+    Copy variants only — functional backend; difference_op defaults to
+    subtraction and must be traceable elementwise."""
+
+    @staticmethod
+    def SubtractLeftCopy(d_in, num_items: int | None = None,
+                         difference_op=None, stream: Any = None):
+        import jax.numpy as jnp
+
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        op = difference_op or (lambda a, b: a - b)
+        out = jnp.concatenate([x[:1], op(x[1:], x[:-1])])
+        return _rewrap(out, d_in, wrapped)
+
+    @staticmethod
+    def SubtractRightCopy(d_in, num_items: int | None = None,
+                          difference_op=None, stream: Any = None):
+        import jax.numpy as jnp
+
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        op = difference_op or (lambda a, b: a - b)
+        out = jnp.concatenate([op(x[:-1], x[1:]), x[-1:]])
+        return _rewrap(out, d_in, wrapped)
+
+    SubtractLeft = SubtractLeftCopy
+    SubtractRight = SubtractRightCopy
+
+
 class DeviceMergeSort:
     """Parity: cub::DeviceMergeSort (device_merge_sort.cuh) — the
     comparison-sort companion of DeviceRadixSort: custom comparators and

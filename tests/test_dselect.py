@@ -1,0 +1,107 @@
+"""Distributed selection ops (parallel/dselect.py) on the CPU-8 mesh."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cuda.radixsort_tpu.parallel import dselect, dsort
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return dsort.make_mesh()
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("n,k", [(8 * 1024, 0), (8 * 1024 + 13, 777),
+                                 (4096, 4095)])
+def test_kth_value_distributed(mesh, rng, n, k):
+    x = rng.integers(0, 5000, size=n, dtype=np.uint32)  # duplicates
+    got = dselect.kth_value_distributed(jnp.asarray(x), k, mesh=mesh)
+    assert int(got) == int(np.sort(x)[k])
+
+
+def test_kth_value_distributed_largest_and_signed(mesh, rng):
+    x = rng.integers(-(2**31), 2**31, size=6000).astype(np.int32)
+    got = dselect.kth_value_distributed(jnp.asarray(x), 5, mesh=mesh,
+                                        largest=True)
+    assert int(got) == int(np.sort(x)[::-1][5])
+
+
+def test_kth_value_distributed_float(mesh, rng):
+    x = rng.normal(size=5003).astype(np.float32)
+    x[::97] = -0.0
+    got = dselect.kth_value_distributed(jnp.asarray(x), 2501, mesh=mesh)
+    assert float(got) == float(np.sort(x)[2501])
+
+
+@pytest.mark.parametrize("n,k", [(8 * 1024, 100), (8 * 1000 + 3, 17)])
+def test_top_k_distributed(mesh, rng, n, k):
+    x = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    vals, idx = dselect.top_k_distributed(jnp.asarray(x), k, mesh=mesh)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    np.testing.assert_array_equal(vals, np.sort(x)[::-1][:k])
+    np.testing.assert_array_equal(x[idx], vals)
+
+
+def test_top_k_distributed_ties_match_single_chip(mesh, rng):
+    from cuda.radixsort_tpu.ops.select import top_k as local_topk
+
+    x = rng.integers(0, 4, size=4096, dtype=np.uint32)  # massive ties
+    vals, idx = dselect.top_k_distributed(jnp.asarray(x), 50, mesh=mesh)
+    lv, li = local_topk(jnp.asarray(x), 50, largest=True)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(lv))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(li))
+
+
+def test_top_k_distributed_smallest(mesh, rng):
+    x = rng.integers(0, 2**32, size=5555, dtype=np.uint32)
+    vals, idx = dselect.top_k_distributed(jnp.asarray(x), 33, mesh=mesh,
+                                          largest=False)
+    np.testing.assert_array_equal(np.asarray(vals), np.sort(x)[:33])
+    np.testing.assert_array_equal(x[np.asarray(idx)], np.asarray(vals))
+
+
+def test_top_k_distributed_k_exceeds_shard(mesh, rng):
+    # k > per-shard rows: every shard contributes everything
+    x = rng.integers(0, 1000, size=800, dtype=np.uint32)
+    vals, _ = dselect.top_k_distributed(jnp.asarray(x), 300, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(vals), np.sort(x)[::-1][:300])
+
+
+@pytest.mark.parametrize("n", [8 * 512, 8 * 512 + 5])
+def test_distinct_distributed(mesh, rng, n):
+    # few distinct values -> runs span shard boundaries
+    x = rng.integers(0, 37, size=n, dtype=np.uint32)
+    uk, counts = dselect.distinct_distributed(jnp.asarray(x), mesh=mesh)
+    uk, counts = np.asarray(uk), np.asarray(counts)
+    rows = uk.shape[0] // counts.shape[0]
+    got = np.concatenate([uk.reshape(counts.shape[0], rows)[d, : counts[d]]
+                          for d in range(counts.shape[0])])
+    np.testing.assert_array_equal(got, np.unique(x))
+
+
+def test_distinct_distributed_single_value(mesh):
+    # one global run: only device holding the head keeps one copy
+    x = np.full(4096, 42, np.uint32)
+    uk, counts = dselect.distinct_distributed(jnp.asarray(x),
+                                              mesh=dsort.make_mesh())
+    assert int(np.asarray(counts).sum()) == 1
+    rows = uk.shape[0] // counts.shape[0]
+    d = int(np.flatnonzero(np.asarray(counts))[0])
+    assert int(np.asarray(uk).reshape(-1, rows)[d, 0]) == 42
+
+
+def test_distinct_distributed_signed(mesh, rng):
+    x = rng.integers(-50, 50, size=3000).astype(np.int32)
+    uk, counts = dselect.distinct_distributed(jnp.asarray(x), mesh=mesh)
+    uk, counts = np.asarray(uk), np.asarray(counts)
+    rows = uk.shape[0] // counts.shape[0]
+    got = np.concatenate([uk.reshape(-1, rows)[d, : counts[d]]
+                          for d in range(counts.shape[0])])
+    np.testing.assert_array_equal(got, np.unique(x))

@@ -54,6 +54,7 @@ from cuda.radixsort_tpu.ops.comparator_sort import (  # noqa: F401
     comparator_argsort,
     comparator_sort,
 )
+from cuda.radixsort_tpu.pipeline.plan import Query  # noqa: F401
 from cuda.radixsort_tpu.table import Table, table  # noqa: F401
 from cuda.radixsort_tpu import twiddle  # noqa: F401
 

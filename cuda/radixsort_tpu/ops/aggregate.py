@@ -61,12 +61,17 @@ def groupby(
     values: jnp.ndarray | None = None,
     *,
     agg: str = "sum",
+    valid: jnp.ndarray | None = None,
     config: config_lib.SortConfig | None = None,
 ):
     """Group rows by key and reduce values per group.
 
     Returns (group_keys, aggregates, count): rows [0, count) hold one row per
-    distinct key (key-ascending). agg="count" ignores `values`.
+    distinct key (key-ascending). agg="count" ignores `values`. `valid`
+    optionally masks rows out (the selection-vector protocol: compacted
+    tables carry real-but-dropped rows in the tail — no sentinel keys):
+    invalid rows sort into their own trailing segments via a validity limb
+    and are dropped by the final compaction.
     """
     if agg not in _AGGS:
         raise ValueError(agg)
@@ -74,15 +79,31 @@ def groupby(
     n = keys.shape[0]
     if agg == "count" or values is None:
         values = jnp.ones((n,), jnp.int32)
-    skeys, svals = _sort_pairs(keys, values, config=cfg)
+    if valid is None:
+        skeys, svals = _sort_pairs(keys, values, config=cfg)
+        valid_sorted = None
+    else:
+        from cuda.radixsort_tpu.ops.sort import sort_struct as _sort_struct
+
+        flag = jnp.logical_not(valid).astype(jnp.uint8)  # invalid sinks last
+        (sflag, skeys), svals = _sort_struct((flag, keys), values,
+                                             config=cfg)
+        valid_sorted = sflag == 0
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
     )
+    if valid_sorted is not None:
+        # a key run may straddle the valid/invalid boundary: cut it there so
+        # invalid rows never contribute to a valid group's total
+        is_start = is_start | jnp.concatenate(
+            [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]]
+        )
     totals = _segmented_total_at_start(svals, is_start, agg)
+    keep = is_start if valid_sorted is None else (is_start & valid_sorted)
     # NB: unlike join/query, this compaction keeps the Pallas stage —
     # measured 40.1 ms vs 47.5 ms with the xla filter @2^22 (the scan chain
     # above offers less fusion benefit than join's sort+gather context)
     (gk, gv), count = _filter_columns(
-        is_start, (skeys, totals), config=cfg
+        keep, (skeys, totals), config=cfg
     )
     return gk, gv, count

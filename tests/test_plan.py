@@ -1,0 +1,168 @@
+"""Query-plan layer (pipeline/plan.py) + groupby validity protocol."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cuda.radixsort_tpu.ops.aggregate import groupby
+from cuda.radixsort_tpu.pipeline.plan import Query
+from cuda.radixsort_tpu.table import table
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(123)
+
+
+def test_groupby_valid_mask(rng):
+    k = rng.integers(0, 20, size=1000, dtype=np.uint32)
+    v = rng.integers(0, 100, size=1000).astype(np.int32)
+    valid = rng.random(1000) < 0.6
+    gk, gv, cnt = groupby(jnp.asarray(k), jnp.asarray(v),
+                          valid=jnp.asarray(valid))
+    cnt = int(cnt)
+    uk = np.unique(k[valid])
+    assert cnt == uk.shape[0]
+    np.testing.assert_array_equal(np.asarray(gk)[:cnt], uk)
+    oracle = np.array([v[valid & (k == key)].sum() for key in uk])
+    np.testing.assert_array_equal(np.asarray(gv)[:cnt], oracle)
+
+
+def test_groupby_valid_none_unchanged(rng):
+    k = rng.integers(0, 9, size=500, dtype=np.uint32)
+    v = rng.integers(0, 10, size=500).astype(np.int32)
+    gk, gv, cnt = groupby(jnp.asarray(k), jnp.asarray(v), agg="min")
+    uk = np.unique(k)
+    assert int(cnt) == uk.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(gv)[: int(cnt)],
+        np.array([v[k == key].min() for key in uk]))
+
+
+def _oracle_pipeline(pk, pv, bk, bv, thresh, topn):
+    """numpy oracle of the full plan used in the tests below."""
+    sel = pv > thresh
+    fk, fv = pk[sel], pv[sel]
+    bmap = dict(zip(bk.tolist(), bv.tolist()))
+    rows = [(k_, v_, bmap[k_]) for k_, v_ in zip(fk, fv) if k_ in bmap]
+    agg: dict = {}
+    for k_, v_, _ in rows:
+        agg[k_] = agg.get(k_, 0) + v_
+    # order_by value desc is a STABLE sort on key-ascending groupby output
+    out = sorted(agg.items(), key=lambda kv: kv[0])
+    out = sorted(out, key=lambda kv: -kv[1])
+    return out[:topn]
+
+
+def test_query_full_pipeline(rng):
+    n, nb = 4096, 100
+    pk = rng.integers(0, 150, size=n, dtype=np.uint32)
+    pv = rng.integers(0, 1000, size=n).astype(np.int32)
+    bk = np.arange(nb, dtype=np.uint32)  # build keys 0..99 (some miss)
+    bv = rng.integers(0, 50, size=nb).astype(np.int32)
+
+    q = (Query(table(k=jnp.asarray(pk), v=jnp.asarray(pv)))
+         .where(lambda t: t["v"] > 500)
+         .join(table(k=jnp.asarray(bk), p=jnp.asarray(bv)),
+               on="k", value="p")
+         .groupby("k", "v", agg="sum")
+         .order_by("v", descending=True)
+         .limit(10))
+    out, cnt, stats = q.run()
+    cnt = int(cnt)
+    oracle = _oracle_pipeline(pk, pv, bk, bv, 500, 10)
+    assert cnt == len(oracle)
+    got = list(zip(np.asarray(out["k"])[:cnt].tolist(),
+                   np.asarray(out["v"])[:cnt].tolist()))
+    # value order must match; key ties in value may order differently only
+    # if the oracle has ties (stable key-ascending both sides)
+    assert got == oracle
+    # stats thread every stage
+    assert set(stats) == {"0:where", "1:join", "2:groupby", "3:order_by",
+                          "4:limit"}
+    assert int(stats["4:limit"]) == cnt
+
+
+def test_query_where_select_with_column(rng):
+    x = rng.integers(0, 100, size=777).astype(np.int32)
+    q = (Query(table(x=jnp.asarray(x)))
+         .with_column("y", lambda t: t["x"] * 2)
+         .where(lambda t: t["y"] > 100)
+         .select("y"))
+    out, cnt, _ = q.run()
+    cnt = int(cnt)
+    assert out.column_names == ("y",)
+    np.testing.assert_array_equal(np.asarray(out["y"])[:cnt],
+                                  (x * 2)[x * 2 > 100])
+
+
+def test_query_chained_where_respects_validity(rng):
+    # second where must not resurrect rows dropped by the first (the tail
+    # rows are real data, not sentinels)
+    x = rng.integers(0, 100, size=512).astype(np.int32)
+    q = (Query(table(x=jnp.asarray(x)))
+         .where(lambda t: t["x"] >= 50)
+         .where(lambda t: t["x"] < 70))
+    out, cnt, _ = q.run()
+    np.testing.assert_array_equal(np.asarray(out["x"])[: int(cnt)],
+                                  x[(x >= 50) & (x < 70)])
+
+
+def test_query_order_by_keeps_invalid_last(rng):
+    x = rng.integers(0, 1000, size=300).astype(np.int32)
+    q = (Query(table(x=jnp.asarray(x)))
+         .where(lambda t: t["x"] % 2 == 0)
+         .order_by("x"))
+    out, cnt, _ = q.run()
+    cnt = int(cnt)
+    np.testing.assert_array_equal(np.asarray(out["x"])[:cnt],
+                                  np.sort(x[x % 2 == 0]))
+    # ascending with invalid tail: valid prefix only
+    q2 = (Query(table(x=jnp.asarray(x)))
+          .where(lambda t: t["x"] % 2 == 0)
+          .order_by("x", descending=True))
+    out2, cnt2, _ = q2.run()
+    np.testing.assert_array_equal(np.asarray(out2["x"])[: int(cnt2)],
+                                  np.sort(x[x % 2 == 0])[::-1])
+
+
+def test_query_join_with_compacted_build(rng):
+    # build side itself the output of a prior plan (valid prefix only)
+    bk = np.array([1, 2, 3, 4, 5, 99, 98, 97], np.uint32)
+    bv = np.arange(8, dtype=np.int32) * 10
+    pk = np.array([1, 99, 3, 98, 7], np.uint32)
+    build = table(k=jnp.asarray(bk), p=jnp.asarray(bv))
+    # declare only first 5 build rows valid -> 99/98 can't match
+    q = (Query(table(k=jnp.asarray(pk)))
+         .join(build, on="k", value="p", build_count=5))
+    out, cnt, _ = q.run()
+    cnt = int(cnt)
+    got = dict(zip(np.asarray(out["k"])[:cnt].tolist(),
+                   np.asarray(out["p"])[:cnt].tolist()))
+    assert got == {1: 0, 3: 20}
+
+
+def test_query_explain():
+    t = table(x=jnp.arange(4))
+    s = (Query(t).where(lambda t: t["x"] > 0).groupby("x", "x", agg="count")
+         .limit(2).explain())
+    assert "where" in s and "groupby" in s and "limit 2" in s
+
+
+def test_query_jits_end_to_end(rng):
+    x = rng.integers(0, 50, size=256).astype(np.int32)
+
+    @jax.jit
+    def run(xs):
+        out, cnt, _ = (Query(table(x=xs))
+                       .where(lambda t: t["x"] > 10)
+                       .groupby("x", "x", agg="count").run())
+        return out["x"], out["count"], cnt
+
+    ks, cs, cnt = run(jnp.asarray(x))
+    uk, uc = np.unique(x[x > 10], return_counts=True)
+    assert int(cnt) == uk.shape[0]
+    np.testing.assert_array_equal(np.asarray(ks)[: int(cnt)], uk)
+    np.testing.assert_array_equal(np.asarray(cs)[: int(cnt)], uc)

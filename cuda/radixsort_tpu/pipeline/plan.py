@@ -113,20 +113,36 @@ class Query:
         return "\n -> ".join(lines)
 
     # -- execution -----------------------------------------------------------
-    def run(self, *, config: config_lib.SortConfig | None = None):
-        """Execute the plan on one chip.
+    def run(self, *, mesh=None, axis_name: str = "x",
+            config: config_lib.SortConfig | None = None):
+        """Execute the plan.
 
-        Returns (table, count, stats): rows [0, count) of every column are
-        the result; stats maps "i:op" -> rows valid after that stage.
+        Single chip (mesh=None): returns (table, count, stats) — rows
+        [0, count) of every column are the result; stats maps "i:op" ->
+        rows valid after that stage.
+
+        Distributed (mesh=...): the source table is sharded over the mesh
+        axis and the whole plan runs as ONE shard_map — filters shard-local,
+        joins against a replicated build side, group-bys two-phase (local
+        partial aggregate, hash exchange of partials, final aggregate).
+        `order_by`/`limit` need a global view, so they gather the (post-
+        aggregation, small) running result to every device and continue
+        replicated. Returns (table, counts, stats): counts is (ndev,) while
+        the result is sharded (device d's rows valid in [d*rows, d*rows +
+        counts[d])), or a scalar once a stage has gathered; stats values
+        are global (psum'd) row counts.
         """
-        t = self._source
-        count = (jnp.asarray(t.num_rows, jnp.int32) if self._count is None
-                 else jnp.asarray(self._count, jnp.int32))
-        stats: dict[str, Any] = {}
-        for i, st in enumerate(self._stages):
-            t, count = _EXEC[st.op](t, count, st, config)
-            stats[f"{i}:{st.op}"] = count
-        return t, count, stats
+        if mesh is None:
+            t = self._source
+            count = (jnp.asarray(t.num_rows, jnp.int32)
+                     if self._count is None
+                     else jnp.asarray(self._count, jnp.int32))
+            stats: dict[str, Any] = {}
+            for i, st in enumerate(self._stages):
+                t, count = _EXEC[st.op](t, count, st, config)
+                stats[f"{i}:{st.op}"] = count
+            return t, count, stats
+        return _run_distributed(self, mesh, axis_name, config)
 
 
 def _valid_mask(t: Table, count) -> jnp.ndarray:
@@ -207,3 +223,162 @@ _EXEC = {
     "order_by": _exec_order_by,
     "limit": _exec_limit,
 }
+
+
+# ---------------------------------------------------------------------------
+# distributed execution: the whole plan inside one shard_map
+# ---------------------------------------------------------------------------
+
+
+def _run_distributed(q: Query, mesh, axis_name, config):
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from cuda.radixsort_tpu.parallel.dsort import axis_size
+    from cuda.radixsort_tpu.parallel.shuffle import _pad_to
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    ndev = axis_size(mesh, axis_name)
+    src = q._source
+    n = src.num_rows
+    s = -(-n // ndev)
+    cols0 = {k: _pad_to(src[k], s * ndev) for k in src.column_names}
+    # replicated side inputs (join build tables), passed as explicit args
+    reps = []
+    for st in q._stages:
+        if st.op == "join":
+            b = st.args[0]
+            reps.append({k: b[k] for k in b.column_names})
+
+    def shard_fn(cols, rep_tables):
+        d = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        cols = {k: v.reshape(-1) for k, v in cols.items()}
+        cnt = jnp.clip(n - d * s, 0, s).astype(jnp.int32)
+        rep = False  # True once a stage gathered to a replicated view
+        stats = {}
+        rep_iter = iter(rep_tables)
+        for i, st in enumerate(q._stages):
+            if st.op == "join":
+                # build tables ride as explicit replicated args (no closure
+                # capture inside shard_map); replicated-mode joins use the
+                # same local join — replicated probe x replicated build IS
+                # the global join
+                cols, cnt = _dist_join(cols, cnt, st, next(rep_iter),
+                                       config)
+            elif rep or st.op in ("select", "with_column"):
+                # replicated (or validity-preserving projection): reuse the
+                # single-chip stage on the local view
+                t2, cnt = _EXEC[st.op](Table(cols), cnt, st, config)
+                cols = {k: t2[k] for k in t2.column_names}
+            elif st.op == "where":
+                cols, cnt = _dist_where(cols, cnt, st.args[0], config)
+            elif st.op == "groupby":
+                cols, cnt = _dist_groupby(cols, cnt, st, ndev, axis_name,
+                                          config)
+            elif st.op in ("order_by", "limit"):
+                if not rep:
+                    cols, cnt = _dist_gather(cols, cnt, axis_name)
+                    rep = True
+                t2, cnt = _EXEC[st.op](Table(cols), cnt, st, config)
+                cols = {k: t2[k] for k in t2.column_names}
+            stats[f"{i}:{st.op}"] = (cnt if rep
+                                     else jax.lax.psum(cnt, axis_name))
+        out = {k: v.reshape(1, -1) for k, v in cols.items()}
+        if rep:
+            return out, cnt.reshape(1), stats, jnp.ones((), jnp.int32)
+        return out, cnt.reshape(1), stats, jnp.zeros((), jnp.int32)
+
+    # detect statically whether the output is replicated (any gather stage)
+    replicated_out = any(st.op in ("order_by", "limit") for st in q._stages)
+    out_table_spec = P() if replicated_out else P(axis_name)
+    cols, counts, stats, _ = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=(out_table_spec,
+                   P() if replicated_out else P(axis_name),
+                   P(), P()),
+        check_vma=False,
+    )(cols0, reps)
+    t = Table({k: v.reshape(-1) if not replicated_out else v[0]
+               for k, v in cols.items()})
+    counts = counts.reshape(-1)
+    if replicated_out:
+        counts = counts[0]
+    return t, counts, stats
+
+
+def _dist_where(cols, cnt, pred, config):
+    """Shard-local stable compaction by pred & positional validity."""
+    rows = next(iter(cols.values())).shape[0]
+    mask = pred(Table(cols)) & (jnp.arange(rows, dtype=jnp.int32) < cnt)
+    drop = jnp.logical_not(mask)
+    order = jnp.argsort(drop, stable=True)
+    return ({k: jnp.take(v, order, axis=0) for k, v in cols.items()},
+            jnp.sum(mask.astype(jnp.int32)))
+
+
+def _dist_join(cols, cnt, st, build, config):
+    """Local probe shard against the REPLICATED build table."""
+    from cuda.radixsort_tpu.ops.join import join as join_op
+
+    _, on, value, build_count = st.args
+    rows = next(iter(cols.values())).shape[0]
+    bk, bv = build[on], build[value]
+    bvalid = (None if build_count is None else
+              jnp.arange(bk.shape[0], dtype=jnp.int32)
+              < jnp.asarray(build_count, jnp.int32))
+    ok, ov, oi, c2 = join_op(
+        bk, bv, cols[on], how="inner", build_valid=bvalid,
+        probe_valid=jnp.arange(rows, dtype=jnp.int32) < cnt, config=config)
+    out = {on: ok, value: ov}
+    for name, col in cols.items():
+        if name != on:
+            out[name] = jnp.take(col, oi, axis=0)
+    return out, c2.astype(jnp.int32)
+
+
+def _dist_groupby(cols, cnt, st, ndev, axis_name, config):
+    """Two-phase: local partial aggregate -> hash-exchange partial groups ->
+    final aggregate of received partials (validity by explicit masks — the
+    counts-based cousin of shuffle.groupby_distributed)."""
+    from cuda.radixsort_tpu.ops.aggregate import groupby as groupby_op
+    from cuda.radixsort_tpu.parallel.shuffle import (
+        _owner_of_keys,
+        exchange_rows,
+    )
+
+    key, value, agg = st.args
+    rows = next(iter(cols.values())).shape[0]
+    agg1 = "sum" if agg == "count" else agg
+    vals = (jnp.ones((rows,), jnp.int32) if agg == "count"
+            else cols[value])
+    gk, gv, c1 = groupby_op(
+        cols[key], vals, agg=agg1,
+        valid=jnp.arange(rows, dtype=jnp.int32) < cnt, config=config)
+    dest = jnp.where(jnp.arange(gk.shape[0], dtype=jnp.int32) < c1,
+                     _owner_of_keys(gk, ndev), ndev)
+    (rk, rv), rvalid = exchange_rows([gk, gv], dest, ndev, axis_name,
+                                     gk.shape[0])
+    k2, v2, c2 = groupby_op(rk, rv, agg=agg1, valid=rvalid, config=config)
+    out_name = value if value != key else agg
+    return {key: k2, out_name: v2}, c2.astype(jnp.int32)
+
+
+def _dist_gather(cols, cnt, axis_name):
+    """Gather the sharded running result to a replicated compacted view."""
+    import jax
+
+    rows = next(iter(cols.values())).shape[0]
+    valid = jnp.arange(rows, dtype=jnp.int32) < cnt
+    gvalid = jax.lax.all_gather(valid, axis_name, tiled=True)
+    gcols = {k: jax.lax.all_gather(v, axis_name, tiled=True)
+             for k, v in cols.items()}
+    # stable compaction of the gathered valid rows (device-major order)
+    drop = jnp.logical_not(gvalid)
+    order = jnp.argsort(drop, stable=True)
+    return ({k: jnp.take(v, order, axis=0) for k, v in gcols.items()},
+            jax.lax.psum(cnt, axis_name))

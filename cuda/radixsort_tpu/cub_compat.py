@@ -550,6 +550,80 @@ class DeviceAdjacentDifference:
     SubtractRight = SubtractRightCopy
 
 
+class DeviceTopK:
+    """Parity: cub::DeviceTopK (device_topk.cuh) — MinKeys/MaxKeys/
+    MinPairs/MaxPairs, backed by the radix-select + filter engine
+    (ops/select.py: histogram refinement, ~4 reads, no full sort).
+    Deterministic tie rule (stronger than CUB's unspecified choice):
+    smallest original index wins; results sorted."""
+
+    @staticmethod
+    def MaxKeys(d_keys_in, k: int, num_items: int | None = None,
+                stream: Any = None, *, config=None):
+        from cuda.radixsort_tpu.ops.select import top_k
+
+        x, _ = _unwrap(d_keys_in)
+        _check_items(x, num_items)
+        vals, _ = top_k(x, k, largest=True, config=config)
+        return vals
+
+    @staticmethod
+    def MinKeys(d_keys_in, k: int, num_items: int | None = None,
+                stream: Any = None, *, config=None):
+        from cuda.radixsort_tpu.ops.select import top_k
+
+        x, _ = _unwrap(d_keys_in)
+        _check_items(x, num_items)
+        vals, _ = top_k(x, k, largest=False, config=config)
+        return vals
+
+    @staticmethod
+    def MaxPairs(d_keys_in, d_values_in, k: int,
+                 num_items: int | None = None, stream: Any = None, *,
+                 config=None):
+        import jax.numpy as jnp
+
+        from cuda.radixsort_tpu.ops.select import top_k
+
+        x, _ = _unwrap(d_keys_in)
+        v, _ = _unwrap(d_values_in)
+        _check_items(x, num_items)
+        vals, idx = top_k(x, k, largest=True, config=config)
+        return vals, jnp.take(v, idx, axis=0)
+
+    @staticmethod
+    def MinPairs(d_keys_in, d_values_in, k: int,
+                 num_items: int | None = None, stream: Any = None, *,
+                 config=None):
+        import jax.numpy as jnp
+
+        from cuda.radixsort_tpu.ops.select import top_k
+
+        x, _ = _unwrap(d_keys_in)
+        v, _ = _unwrap(d_values_in)
+        _check_items(x, num_items)
+        vals, idx = top_k(x, k, largest=False, config=config)
+        return vals, jnp.take(v, idx, axis=0)
+
+
+class DeviceTransform:
+    """Parity: cub::DeviceTransform (device_transform.cuh) — Transform over
+    N input sequences with a traceable op; XLA's fusion is the whole point
+    of this op on TPU (it exists in CUB to saturate bandwidth; here the
+    compiler fuses it into neighbors for free)."""
+
+    @staticmethod
+    def Transform(d_inputs, transform_op, num_items: int | None = None,
+                  stream: Any = None):
+        ins = d_inputs if isinstance(d_inputs, (tuple, list)) else (d_inputs,)
+        xs = []
+        for i in ins:
+            x, _ = _unwrap(i)
+            xs.append(x)
+        _check_items(xs[0], num_items)
+        return transform_op(*xs)
+
+
 class DeviceMergeSort:
     """Parity: cub::DeviceMergeSort (device_merge_sort.cuh) — the
     comparison-sort companion of DeviceRadixSort: custom comparators and

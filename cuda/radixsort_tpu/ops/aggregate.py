@@ -79,6 +79,8 @@ def groupby(
     n = keys.shape[0]
     if agg == "count" or values is None:
         values = jnp.ones((n,), jnp.int32)
+    if n == 0:  # empty-input shortcut (CUB dispatch_radix_sort.cuh:1055)
+        return keys, values, jnp.zeros((), jnp.int32)
     if valid is None:
         skeys, svals = _sort_pairs(keys, values, config=cfg)
         valid_sorted = None

@@ -98,3 +98,66 @@ kk, vv = np.asarray(t["k"]), np.asarray(t["v"])
 ok_tab = int(gcnt) == len(np.unique(kk))
 print("table filter/groupby correct:",
       int(fcnt) == int((vv > 0).sum()) and ok_tab, flush=True)
+
+# ---- session-4 additions -------------------------------------------------
+# comparator network on hardware (struct key, mixed order)
+a4 = rng.integers(0, 6, size=1 << 14).astype(np.int32)
+b4 = rng.integers(0, 500, size=1 << 14).astype(np.int32)
+out4 = rs.comparator_sort(
+    {"a": jnp.asarray(a4), "b": jnp.asarray(b4)},
+    lambda x, y: (x["a"] > y["a"]) | ((x["a"] == y["a"]) & (x["b"] < y["b"])))
+o4 = np.lexsort((b4, -a4))
+print("comparator network (struct key) correct:",
+      np.array_equal(np.asarray(out4["a"]), a4[o4]) and
+      np.array_equal(np.asarray(out4["b"]), b4[o4]), flush=True)
+
+# thrust layer routing on hardware
+from cuda.radixsort_tpu import thrust_compat as thrust
+x5 = rng.integers(0, 2**32, size=1 << 20, dtype=np.uint32)
+s5 = np.asarray(thrust.sort(jnp.asarray(x5), comp=thrust.greater))
+print("thrust.sort greater routes to engine:",
+      np.array_equal(s5, np.sort(x5)[::-1]), flush=True)
+
+# merge network on hardware (>=2^22 so the bitonic level path engages)
+am = np.sort(rng.integers(0, 2**32, size=1 << 21, dtype=np.uint32))
+bm = np.sort(rng.integers(0, 2**32, size=1 << 21, dtype=np.uint32))
+mm = np.asarray(rs.merge_sorted(jnp.asarray(am), jnp.asarray(bm)))
+print("bitonic merge level correct:",
+      np.array_equal(mm, np.sort(np.concatenate([am, bm]))), flush=True)
+
+# unique / RLE on hardware
+xr = np.repeat(rng.integers(0, 1000, size=4096).astype(np.uint32),
+               rng.integers(1, 9, size=4096))
+ukh, lenh, nrh = rs.run_length_encode(jnp.asarray(xr))
+starts_h = np.flatnonzero(np.concatenate([[True], xr[1:] != xr[:-1]]))
+print("run_length_encode correct:",
+      int(nrh) == starts_h.shape[0] and
+      np.array_equal(np.asarray(ukh)[: int(nrh)], xr[starts_h]), flush=True)
+
+# query plan end-to-end on hardware
+bld = rs.table(k=jnp.asarray(np.arange(64, dtype=np.uint32)),
+               p=jnp.asarray(rng.integers(0, 50, 64).astype(np.int32)))
+qk6 = rng.integers(0, 80, size=1 << 18, dtype=np.uint32)
+qv6 = rng.integers(0, 1000, size=1 << 18).astype(np.int32)
+out6, cnt6, _st6 = (rs.Query(rs.table(k=jnp.asarray(qk6), v=jnp.asarray(qv6)))
+                    .where(lambda t: t["v"] > 400)
+                    .join(bld, on="k", value="p")
+                    .groupby("k", "v", agg="sum")
+                    .order_by("v", descending=True)
+                    .limit(5)).run()
+sel6 = qv6 > 400
+m6 = qk6 < 64
+agg6 = {}
+for kk6, vv6 in zip(qk6[sel6 & m6], qv6[sel6 & m6]):
+    agg6[int(kk6)] = agg6.get(int(kk6), 0) + int(vv6)
+want6 = sorted(sorted(agg6.items()), key=lambda kv: -kv[1])[:5]
+got6 = list(zip(np.asarray(out6["k"])[: int(cnt6)].tolist(),
+                np.asarray(out6["v"])[: int(cnt6)].tolist()))
+print("query plan on hardware correct:", got6 == want6, flush=True)
+
+# radix top-k via compat on hardware
+from cuda.radixsort_tpu.cub_compat import DeviceTopK
+x7 = rng.integers(0, 2**32, size=1 << 20, dtype=np.uint32)
+mx7 = np.asarray(DeviceTopK.MaxKeys(jnp.asarray(x7), 32))
+print("DeviceTopK correct:", np.array_equal(mx7, np.sort(x7)[::-1][:32]),
+      flush=True)

@@ -32,7 +32,7 @@ from cuda.radixsort_tpu.ops.select import kth_value, top_k  # noqa: F401
 from cuda.radixsort_tpu.ops.partition import bucket_ids, hash32, partition  # noqa: F401
 from cuda.radixsort_tpu.ops.filter import filter_columns, selection_vector  # noqa: F401
 from cuda.radixsort_tpu.ops.join import join  # noqa: F401
-from cuda.radixsort_tpu.ops.aggregate import groupby  # noqa: F401
+from cuda.radixsort_tpu.ops.aggregate import groupby, groupby_multi  # noqa: F401
 from cuda.radixsort_tpu.ops.segmented import segmented_sort  # noqa: F401
 from cuda.radixsort_tpu.ops.unique import (  # noqa: F401
     distinct,

@@ -109,3 +109,69 @@ def groupby(
         keep, (skeys, totals), config=cfg
     )
     return gk, gv, count
+
+
+@functools.partial(jax.jit, static_argnames=("agg_ops", "config"))
+def groupby_multi(
+    key_columns,
+    value_columns,
+    agg_ops,
+    *,
+    valid: jnp.ndarray | None = None,
+    config: config_lib.SortConfig | None = None,
+):
+    """Multi-key, multi-aggregate group-by: ONE struct sort, one segmented
+    reduction per aggregate, one compaction.
+
+    Args:
+      key_columns: sequence of equal-length key arrays (lexicographic group
+        key — the decomposer protocol, like `sort_struct`).
+      value_columns: sequence of value arrays, one per aggregate.
+      agg_ops: tuple of "sum"/"count"/"min"/"max", one per value column
+        (static). "count" ignores its value column (pass any column).
+      valid: optional bool mask (the selection-vector protocol).
+
+    Returns (key_columns_out, value_columns_out, count): rows [0, count)
+    hold one row per distinct key tuple, key-ascending; aggregates align.
+    """
+    from cuda.radixsort_tpu.ops.sort import sort_struct as _sort_struct
+
+    key_columns = tuple(key_columns)
+    value_columns = tuple(value_columns)
+    agg_ops = tuple(agg_ops)
+    if len(agg_ops) != len(value_columns):
+        raise ValueError("one agg per value column")
+    for a in agg_ops:
+        if a not in _AGGS:
+            raise ValueError(a)
+    cfg = config_lib.resolve(config)
+    n = key_columns[0].shape[0]
+    vals = tuple(jnp.ones((n,), jnp.int32) if a == "count" else v
+                 for v, a in zip(value_columns, agg_ops))
+    if n == 0:
+        return key_columns, vals, jnp.zeros((), jnp.int32)
+    if valid is None:
+        skeys = _sort_struct(key_columns, vals, config=cfg)
+        skeys, svals = skeys
+        valid_sorted = None
+    else:
+        flag = jnp.logical_not(valid).astype(jnp.uint8)
+        (sflag, *sk), svals = _sort_struct((flag,) + key_columns, vals,
+                                           config=cfg)
+        skeys = tuple(sk)
+        valid_sorted = sflag == 0
+    is_start = jnp.zeros((n,), bool).at[0].set(True)
+    for col in skeys:
+        is_start = is_start | jnp.concatenate(
+            [jnp.zeros((1,), bool), col[1:] != col[:-1]])
+    if valid_sorted is not None:
+        is_start = is_start | jnp.concatenate(
+            [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]])
+    totals = tuple(
+        _segmented_total_at_start(sv, is_start,
+                                  "sum" if a == "count" else a)
+        for sv, a in zip(svals, agg_ops))
+    keep = is_start if valid_sorted is None else (is_start & valid_sorted)
+    cols, count = _filter_columns(keep, skeys + totals, config=cfg)
+    nk = len(skeys)
+    return cols[:nk], cols[nk:], count

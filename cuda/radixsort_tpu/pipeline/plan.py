@@ -79,6 +79,12 @@ class Query:
         groupby("x", "x", agg="count") yields columns x, count)."""
         return self._with("groupby", key, value, agg)
 
+    def groupby_agg(self, keys, aggs: dict) -> "Query":
+        """Multi-key, multi-aggregate group-by: `keys` is a sequence of
+        grouping columns, `aggs` maps out_name -> (value_column, agg)."""
+        return self._with("groupby_agg", tuple(keys),
+                          tuple((n, v, a) for n, (v, a) in aggs.items()))
+
     def order_by(self, key: str, *, descending: bool = False) -> "Query":
         """Stable sort by one column; invalid tail rows stay in the tail."""
         return self._with("order_by", key, descending)
@@ -105,6 +111,10 @@ class Query:
                 key, value, agg = st.args
                 lines.append(f"groupby key={key!r} value={value!r} "
                              f"agg={agg!r}")
+            elif st.op == "groupby_agg":
+                keys, aggs = st.args
+                lines.append(f"groupby_agg keys={list(keys)} aggs="
+                             + str({n: (v, a) for n, v, a in aggs}))
             elif st.op == "order_by":
                 lines.append(f"order_by {st.args[0]!r}"
                              + (" desc" if st.args[1] else ""))
@@ -193,6 +203,21 @@ def _exec_groupby(t: Table, count, st: _Stage, config):
     return Table({key: gk, out_name: gv}), cnt.astype(jnp.int32)
 
 
+def _exec_groupby_agg(t: Table, count, st: _Stage, config):
+    from cuda.radixsort_tpu.ops.aggregate import groupby_multi
+
+    keys, aggs = st.args
+    names = [n for n, _, _ in aggs]
+    kc, vc, cnt = groupby_multi(
+        tuple(t[k] for k in keys),
+        tuple(t[v] for _, v, _ in aggs),
+        tuple(a for _, _, a in aggs),
+        valid=_valid_mask(t, count), config=config)
+    out = dict(zip(keys, kc))
+    out.update(zip(names, vc))
+    return Table(out), cnt.astype(jnp.int32)
+
+
 def _exec_order_by(t: Table, count, st: _Stage, config):
     from cuda.radixsort_tpu.ops.sort import sort_struct
 
@@ -220,6 +245,7 @@ _EXEC = {
     "with_column": _exec_with_column,
     "join": _exec_join,
     "groupby": _exec_groupby,
+    "groupby_agg": _exec_groupby_agg,
     "order_by": _exec_order_by,
     "limit": _exec_limit,
 }
@@ -279,6 +305,9 @@ def _run_distributed(q: Query, mesh, axis_name, config):
             elif st.op == "groupby":
                 cols, cnt = _dist_groupby(cols, cnt, st, ndev, axis_name,
                                           config)
+            elif st.op == "groupby_agg":
+                cols, cnt = _dist_groupby_agg(cols, cnt, st, ndev,
+                                              axis_name, config)
             elif st.op in ("order_by", "limit"):
                 if not rep:
                     cols, cnt = _dist_gather(cols, cnt, axis_name)
@@ -366,6 +395,38 @@ def _dist_groupby(cols, cnt, st, ndev, axis_name, config):
     k2, v2, c2 = groupby_op(rk, rv, agg=agg1, valid=rvalid, config=config)
     out_name = value if value != key else agg
     return {key: k2, out_name: v2}, c2.astype(jnp.int32)
+
+
+def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):
+    """Two-phase multi-key multi-agg: local partials, hash-of-key-tuple
+    exchange, final re-aggregation (count partials re-reduce as sums)."""
+    from cuda.radixsort_tpu.ops.aggregate import groupby_multi
+    from cuda.radixsort_tpu.ops.partition import hash32
+    from cuda.radixsort_tpu.parallel.shuffle import exchange_rows
+
+    keys, aggs = st.args
+    names = [n for n, _, _ in aggs]
+    rows = next(iter(cols.values())).shape[0]
+    kc, vc, c1 = groupby_multi(
+        tuple(cols[k] for k in keys),
+        tuple(cols[v] for _, v, _ in aggs),
+        tuple(a for _, _, a in aggs),
+        valid=jnp.arange(rows, dtype=jnp.int32) < cnt, config=config)
+    h = hash32(kc[0])
+    for col in kc[1:]:
+        h = hash32(col.astype(jnp.uint32) ^ h)
+    dest = jnp.where(jnp.arange(kc[0].shape[0], dtype=jnp.int32) < c1,
+                     (h % jnp.uint32(ndev)).astype(jnp.int32), ndev)
+    recv, rvalid = exchange_rows(list(kc) + list(vc), dest, ndev,
+                                 axis_name, kc[0].shape[0])
+    nk = len(keys)
+    # re-aggregation: partial counts are already sums
+    re_aggs = tuple("sum" if a == "count" else a for _, _, a in aggs)
+    k2, v2, c2 = groupby_multi(tuple(recv[:nk]), tuple(recv[nk:]),
+                               re_aggs, valid=rvalid, config=config)
+    out = dict(zip(keys, k2))
+    out.update(zip(names, v2))
+    return out, c2.astype(jnp.int32)
 
 
 def _dist_gather(cols, cnt, axis_name):

@@ -158,6 +158,27 @@ class Table:
                                 agg=agg, config=config)
         return Table({key: gk, value: gv}), count
 
+    def groupby_agg(self, keys: Iterable[str],
+                    aggs: Mapping[str, tuple[str, str]], *,
+                    config: config_lib.SortConfig | None = None):
+        """Multi-key, multi-aggregate group-by. `keys`: grouping columns
+        (lexicographic); `aggs`: out_name -> (value_column, agg) with agg in
+        sum/count/min/max. Returns (table[keys..., out_names...], count)."""
+        from cuda.radixsort_tpu.ops.aggregate import groupby_multi
+
+        keys = list(keys)
+        names = list(aggs)
+        clash = set(keys) & set(names)
+        if clash:
+            raise ValueError(f"aggregate names clash with keys: {clash}")
+        kc, vc, cnt = groupby_multi(
+            tuple(self._cols[k] for k in keys),
+            tuple(self._cols[aggs[n][0]] for n in names),
+            tuple(aggs[n][1] for n in names), config=config)
+        out = dict(zip(keys, kc))
+        out.update(zip(names, vc))
+        return Table(out), cnt
+
     def join(self, build: "Table", *, on: str, value: str,
              config: config_lib.SortConfig | None = None):
         """Inner FK join: probe (self) rows against build's `on` column;

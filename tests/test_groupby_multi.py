@@ -1,0 +1,138 @@
+"""Multi-key multi-aggregate group-by: ops.groupby_multi, Table.groupby_agg,
+Query.groupby_agg (single-chip + distributed)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cuda.radixsort_tpu.ops.aggregate import groupby_multi
+from cuda.radixsort_tpu.parallel import dsort
+from cuda.radixsort_tpu.pipeline.plan import Query
+from cuda.radixsort_tpu.table import table
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(44)
+
+
+def _oracle(a, b, v, mask=None):
+    if mask is None:
+        mask = np.ones(a.shape[0], bool)
+    out = {}
+    for i in np.flatnonzero(mask):
+        k = (int(a[i]), int(b[i]))
+        s, c, mn, mx = out.get(k, (0, 0, None, None))
+        vi = int(v[i])
+        out[k] = (s + vi, c + 1,
+                  vi if mn is None else min(mn, vi),
+                  vi if mx is None else max(mx, vi))
+    return dict(sorted(out.items()))
+
+
+def test_groupby_multi_two_keys_all_aggs(rng):
+    n = 3000
+    a = rng.integers(0, 5, size=n).astype(np.uint32)
+    b = rng.integers(0, 7, size=n).astype(np.int32)
+    v = rng.integers(-50, 50, size=n).astype(np.int32)
+    kc, vc, cnt = groupby_multi(
+        (jnp.asarray(a), jnp.asarray(b)),
+        (jnp.asarray(v), jnp.asarray(v), jnp.asarray(v), jnp.asarray(v)),
+        ("sum", "count", "min", "max"))
+    cnt = int(cnt)
+    oracle = _oracle(a, b, v)
+    assert cnt == len(oracle)
+    got_keys = list(zip(np.asarray(kc[0])[:cnt].tolist(),
+                        np.asarray(kc[1])[:cnt].tolist()))
+    assert got_keys == list(oracle)  # key-ascending lexicographic
+    for j, field in enumerate(range(4)):
+        np.testing.assert_array_equal(
+            np.asarray(vc[j])[:cnt],
+            np.array([oracle[k][field] for k in oracle]))
+
+
+def test_groupby_multi_valid_mask(rng):
+    n = 1000
+    a = rng.integers(0, 4, size=n).astype(np.uint32)
+    b = rng.integers(0, 4, size=n).astype(np.uint32)
+    v = rng.integers(0, 100, size=n).astype(np.int32)
+    valid = rng.random(n) < 0.5
+    kc, vc, cnt = groupby_multi(
+        (jnp.asarray(a), jnp.asarray(b)), (jnp.asarray(v),), ("sum",),
+        valid=jnp.asarray(valid))
+    oracle = _oracle(a, b, v, valid)
+    assert int(cnt) == len(oracle)
+    np.testing.assert_array_equal(
+        np.asarray(vc[0])[: int(cnt)],
+        np.array([oracle[k][0] for k in oracle]))
+
+
+def test_table_groupby_agg(rng):
+    n = 2000
+    a = rng.integers(0, 6, size=n).astype(np.uint32)
+    v = rng.integers(0, 100, size=n).astype(np.int32)
+    t = table(a=jnp.asarray(a), v=jnp.asarray(v))
+    out, cnt = t.groupby_agg(["a"], {"total": ("v", "sum"),
+                                     "n": ("v", "count"),
+                                     "lo": ("v", "min")})
+    cnt = int(cnt)
+    uk = np.unique(a)
+    assert cnt == uk.shape[0]
+    np.testing.assert_array_equal(np.asarray(out["a"])[:cnt], uk)
+    np.testing.assert_array_equal(
+        np.asarray(out["total"])[:cnt],
+        np.array([v[a == k].sum() for k in uk]))
+    np.testing.assert_array_equal(
+        np.asarray(out["n"])[:cnt],
+        np.array([(a == k).sum() for k in uk]))
+    np.testing.assert_array_equal(
+        np.asarray(out["lo"])[:cnt],
+        np.array([v[a == k].min() for k in uk]))
+    with pytest.raises(ValueError):
+        t.groupby_agg(["a"], {"a": ("v", "sum")})
+
+
+def test_query_groupby_agg_single_and_distributed(rng):
+    mesh = dsort.make_mesh()
+    n = 8 * 400 + 3
+    a = rng.integers(0, 9, size=n).astype(np.uint32)
+    b = rng.integers(0, 3, size=n).astype(np.uint32)
+    v = rng.integers(0, 1000, size=n).astype(np.int32)
+    t = table(a=jnp.asarray(a), b=jnp.asarray(b), v=jnp.asarray(v))
+
+    def plan(t):
+        return (Query(t)
+                .where(lambda t: t["v"] > 300)
+                .groupby_agg(["a", "b"], {"s": ("v", "sum"),
+                                          "c": ("v", "count"),
+                                          "hi": ("v", "max")}))
+
+    so, sc, _ = plan(t).run()
+    sc = int(sc)
+    mask = v > 300
+    oracle = {}
+    for i in np.flatnonzero(mask):
+        k = (int(a[i]), int(b[i]))
+        s, c, hi = oracle.get(k, (0, 0, -1))
+        oracle[k] = (s + int(v[i]), c + 1, max(hi, int(v[i])))
+    assert sc == len(oracle)
+    got = {(int(ka), int(kb)): (int(s), int(c), int(hi))
+           for ka, kb, s, c, hi in zip(
+               np.asarray(so["a"])[:sc], np.asarray(so["b"])[:sc],
+               np.asarray(so["s"])[:sc], np.asarray(so["c"])[:sc],
+               np.asarray(so["hi"])[:sc])}
+    assert got == oracle
+
+    do, dcounts, _ = plan(t).run(mesh=mesh)
+    dcounts = np.asarray(dcounts)
+    rows = np.asarray(do["a"]).shape[0] // dcounts.shape[0]
+    dgot = {}
+    for d in range(dcounts.shape[0]):
+        sl = slice(d * rows, d * rows + dcounts[d])
+        for ka, kb, s, c, hi in zip(
+                np.asarray(do["a"])[sl], np.asarray(do["b"])[sl],
+                np.asarray(do["s"])[sl], np.asarray(do["c"])[sl],
+                np.asarray(do["hi"])[sl]):
+            dgot[(int(ka), int(kb))] = (int(s), int(c), int(hi))
+    assert dgot == oracle

@@ -72,12 +72,16 @@ def join(
                           columns with it — values-follow-keys)
     For how="left", count == len(probe_keys) and unmatched rows carry
     matched-mask False in vals' companion mask (returned as 5th element).
+    how="semi"/"anti" are existence joins — probe rows WITH / WITHOUT a
+    build match; they return (keys, probe_idx, count) only (no build value
+    travels; build_vals is still required for the shared sort plumbing but
+    unused in the output).
 
     build_valid / probe_valid: optional bool masks; False rows take part in
     neither side (they ride the sort as side==2 and never match or emit) —
     the hook the distributed hash-exchange join uses for its padding rows.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(how)
     cfg = config_lib.resolve(config)
     nb, np_ = build_keys.shape[0], probe_keys.shape[0]
@@ -133,6 +137,13 @@ def join(
             keep, (skeys, cv, sorig), config=fcfg
         )
         return ok, ov, oi, count
+    if how in ("semi", "anti"):
+        # existence joins: probe rows with (semi) / without (anti) a build
+        # match; no build value travels
+        keep = is_probe & (matched if how == "semi"
+                           else jnp.logical_not(matched))
+        (ok, oi), count = _filter_columns(keep, (skeys, sorig), config=fcfg)
+        return ok, oi, count
     # left join: all probe rows, plus matched mask
     (ok, ov, oi, om), count = _filter_columns(
         is_probe, (skeys, cv, sorig, matched), config=fcfg

@@ -67,11 +67,17 @@ class Query:
         """Add a computed column (elementwise over the table)."""
         return self._with("with_column", name, fn)
 
-    def join(self, build: Table, *, on: str, value: str,
-             build_count=None) -> "Query":
-        """Inner join against `build[on]`, bringing `build[value]` across.
+    def join(self, build: Table, *, on: str, value: str | None = None,
+             how: str = "inner", build_count=None) -> "Query":
+        """Join against `build[on]`. how: "inner" (brings `build[value]`
+        across), "left" (all rows + a bool `matched` column), "semi"/"anti"
+        (existence filters — probe rows with/without a match; no value).
         `build_count` marks a compacted build side's valid prefix."""
-        return self._with("join", build, on, value, build_count)
+        if how not in ("inner", "left", "semi", "anti"):
+            raise ValueError(how)
+        if how in ("inner", "left") and value is None:
+            raise ValueError(f"how={how!r} needs value=")
+        return self._with("join", build, on, value, build_count, how)
 
     def groupby(self, key: str, value: str, *, agg: str = "sum") -> "Query":
         """Group by `key`, reduce `value`. Output columns: key, value —
@@ -105,8 +111,9 @@ class Query:
             elif st.op == "with_column":
                 lines.append(f"with_column {st.args[0]!r}")
             elif st.op == "join":
-                b, on, value, _ = st.args
-                lines.append(f"join build={b!r} on={on!r} value={value!r}")
+                b, on, value, _, how = st.args
+                lines.append(f"join[{how}] build={b!r} on={on!r}"
+                             + (f" value={value!r}" if value else ""))
             elif st.op == "groupby":
                 key, value, agg = st.args
                 lines.append(f"groupby key={key!r} value={value!r} "
@@ -175,22 +182,48 @@ def _exec_with_column(t: Table, count, st: _Stage, config):
     return t.with_column(name, fn(t)), count
 
 
-def _exec_join(t: Table, count, st: _Stage, config):
+def _join_impl(cols: dict, count, st: _Stage, build_cols: dict, config):
+    """Shared join stage body (single-chip Table and shard-local dict)."""
     from cuda.radixsort_tpu.ops.join import join as join_op
 
-    build, on, value, build_count = st.args
-    bk, bv = build[on], build[value]
-    bvalid = (None if build_count is None
-              else _valid_mask(build, build_count))
-    ok, ov, oi, cnt = join_op(bk, bv, t[on], how="inner",
-                              build_valid=bvalid,
-                              probe_valid=_valid_mask(t, count),
+    _, on, value, build_count, how = st.args
+    rows = next(iter(cols.values())).shape[0]
+    bk = build_cols[on]
+    bv = (build_cols[value] if value is not None
+          else jnp.zeros((bk.shape[0],), jnp.int32))
+    bvalid = (None if build_count is None else
+              jnp.arange(bk.shape[0], dtype=jnp.int32)
+              < jnp.asarray(build_count, jnp.int32))
+    pvalid = jnp.arange(rows, dtype=jnp.int32) < count
+    if how in ("semi", "anti"):
+        ok, oi, cnt = join_op(bk, bv, cols[on], how=how,
+                              build_valid=bvalid, probe_valid=pvalid,
                               config=config)
-    out = {on: ok, value: ov}
-    for name in t.column_names:
-        if name != on:
-            out[name] = jnp.take(t[name], oi, axis=0)
-    return Table(out), cnt.astype(jnp.int32)
+        out = {on: ok}
+    elif how == "left":
+        if "matched" in cols:
+            raise ValueError("left join adds a 'matched' column; rename "
+                             "the probe's existing 'matched' column first")
+        ok, ov, oi, cnt, om = join_op(bk, bv, cols[on], how="left",
+                                      build_valid=bvalid,
+                                      probe_valid=pvalid, config=config)
+        out = {on: ok, value: ov, "matched": om}
+    else:
+        ok, ov, oi, cnt = join_op(bk, bv, cols[on], how="inner",
+                                  build_valid=bvalid, probe_valid=pvalid,
+                                  config=config)
+        out = {on: ok, value: ov}
+    for name, col in cols.items():
+        if name not in out:
+            out[name] = jnp.take(col, oi, axis=0)
+    return out, cnt.astype(jnp.int32)
+
+
+def _exec_join(t: Table, count, st: _Stage, config):
+    build = st.args[0]
+    out, cnt = _join_impl({k: t[k] for k in t.column_names}, count, st,
+                          {k: build[k] for k in build.column_names}, config)
+    return Table(out), cnt
 
 
 def _exec_groupby(t: Table, count, st: _Stage, config):
@@ -352,22 +385,7 @@ def _dist_where(cols, cnt, pred, config):
 
 def _dist_join(cols, cnt, st, build, config):
     """Local probe shard against the REPLICATED build table."""
-    from cuda.radixsort_tpu.ops.join import join as join_op
-
-    _, on, value, build_count = st.args
-    rows = next(iter(cols.values())).shape[0]
-    bk, bv = build[on], build[value]
-    bvalid = (None if build_count is None else
-              jnp.arange(bk.shape[0], dtype=jnp.int32)
-              < jnp.asarray(build_count, jnp.int32))
-    ok, ov, oi, c2 = join_op(
-        bk, bv, cols[on], how="inner", build_valid=bvalid,
-        probe_valid=jnp.arange(rows, dtype=jnp.int32) < cnt, config=config)
-    out = {on: ok, value: ov}
-    for name, col in cols.items():
-        if name != on:
-            out[name] = jnp.take(col, oi, axis=0)
-    return out, c2.astype(jnp.int32)
+    return _join_impl(cols, cnt, st, build, config)
 
 
 def _dist_groupby(cols, cnt, st, ndev, axis_name, config):

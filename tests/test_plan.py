@@ -166,3 +166,57 @@ def test_query_jits_end_to_end(rng):
     assert int(cnt) == uk.shape[0]
     np.testing.assert_array_equal(np.asarray(ks)[: int(cnt)], uk)
     np.testing.assert_array_equal(np.asarray(cs)[: int(cnt)], uc)
+
+
+def test_query_join_variants(rng):
+    bk = np.array([1, 2, 3], np.uint32)
+    bv = np.array([10, 20, 30], np.int32)
+    pk = np.array([2, 5, 1, 2, 9], np.uint32)
+    pv = np.arange(5, dtype=np.int32)
+    build = table(k=jnp.asarray(bk), p=jnp.asarray(bv))
+    src = table(k=jnp.asarray(pk), v=jnp.asarray(pv))
+    # semi: probe rows with a match
+    out, cnt, _ = Query(src).join(build, on="k", how="semi").run()
+    cnt = int(cnt)
+    assert sorted(np.asarray(out["k"])[:cnt].tolist()) == [1, 2, 2]
+    assert sorted(np.asarray(out["v"])[:cnt].tolist()) == [0, 2, 3]
+    # anti: probe rows without a match
+    out, cnt, _ = Query(src).join(build, on="k", how="anti").run()
+    cnt = int(cnt)
+    assert sorted(np.asarray(out["k"])[:cnt].tolist()) == [5, 9]
+    # left: all rows + matched mask
+    out, cnt, _ = (Query(src)
+                   .join(build, on="k", value="p", how="left").run())
+    cnt = int(cnt)
+    assert cnt == 5
+    got = {int(v): (int(k), bool(m)) for k, v, m in zip(
+        np.asarray(out["k"])[:cnt], np.asarray(out["v"])[:cnt],
+        np.asarray(out["matched"])[:cnt])}
+    assert got == {0: (2, True), 1: (5, False), 2: (1, True),
+                   3: (2, True), 4: (9, False)}
+    mp = {int(v): int(p) for v, p, m in zip(
+        np.asarray(out["v"])[:cnt], np.asarray(out["p"])[:cnt],
+        np.asarray(out["matched"])[:cnt]) if m}
+    assert mp == {0: 20, 2: 10, 3: 20}
+    # how validation
+    with pytest.raises(ValueError):
+        Query(src).join(build, on="k", how="outer")
+    with pytest.raises(ValueError):
+        Query(src).join(build, on="k", how="inner")  # needs value=
+
+
+def test_query_join_semi_distributed(rng):
+    from cuda.radixsort_tpu.parallel import dsort
+
+    mesh = dsort.make_mesh()
+    pk = rng.integers(0, 100, size=8 * 200 + 3, dtype=np.uint32)
+    build = table(k=jnp.asarray(np.arange(0, 100, 2, dtype=np.uint32)),
+                  p=jnp.asarray(np.zeros(50, np.int32)))
+    q = Query(table(k=jnp.asarray(pk))).join(build, on="k", how="anti")
+    out, counts, _ = q.run(mesh=mesh)
+    counts = np.asarray(counts)
+    rows = np.asarray(out["k"]).shape[0] // counts.shape[0]
+    got = np.concatenate([np.asarray(out["k"]).reshape(-1, rows)[d, : counts[d]]
+                          for d in range(counts.shape[0])])
+    assert got.shape[0] == int((pk % 2 == 1).sum())
+    np.testing.assert_array_equal(np.sort(got), np.sort(pk[pk % 2 == 1]))

@@ -292,3 +292,148 @@ int64_t rt_compare_u64(const uint64_t* a, const uint64_t* b, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Parallel k-way merge of sorted runs — the host half of the external
+// (out-of-core) sort: the device sorts HBM-sized chunks at full speed, this
+// merges the returned runs. Output-partitioned parallelism: thread t owns
+// output ranks [t*n/T, (t+1)*n/T); its slice of every run is found by a
+// binary search ON THE VALUE SPACE (32 probes x k lower_bounds — the
+// merge-path split generalized to k runs), then merged with a 2^h min-heap
+// keyed on (value, run index) so equal keys preserve run order (stability:
+// runs are chunk-ordered).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// rows strictly less than value v across all runs (v in [0, 2^32])
+inline int64_t merged_rank_u32(const uint32_t* const* runs,
+                               const int64_t* lens, int k, uint64_t v) {
+  int64_t rank = 0;
+  for (int i = 0; i < k; i++) {
+    if (v >= 0x100000000ULL) {
+      rank += lens[i];
+      continue;
+    }
+    uint32_t key = static_cast<uint32_t>(v);
+    int64_t a = 0, b = lens[i];
+    while (a < b) {
+      int64_t m = (a + b) >> 1;
+      if (runs[i][m] < key) a = m + 1; else b = m;
+    }
+    rank += a;
+  }
+  return rank;
+}
+
+// starting cursor of every run for global output rank R: the unique
+// frontier (c_0..c_{k-1}) with sum c_i == R that splits the merged order
+void split_at_rank_u32(const uint32_t* const* runs, const int64_t* lens,
+                       int k, int64_t R, int64_t* cursors) {
+  // binary search the (value, run) pair at global rank R
+  uint64_t lo = 0, hi = 0x100000001ULL;  // value search over [0, 2^32]
+  while (lo < hi) {
+    uint64_t mid = (lo + hi) >> 1;
+    if (merged_rank_u32(runs, lens, k, mid) <= R) lo = mid + 1;
+    else hi = mid;
+  }
+  // lo-1 is the value v at rank R's row (or R lands inside v's equal block)
+  uint64_t v = lo == 0 ? 0 : lo - 1;
+  int64_t base = merged_rank_u32(runs, lens, k, v);
+  // cursors: all rows < v, then fill the equal-v block run by run (the
+  // merged order of equal keys is run-major)
+  int64_t remaining = R - base;
+  for (int i = 0; i < k; i++) {
+    int64_t a = 0, b = lens[i];
+    while (a < b) {  // lower_bound of v
+      int64_t m = (a + b) >> 1;
+      if (runs[i][m] < static_cast<uint32_t>(v)) a = m + 1; else b = m;
+    }
+    int64_t eq_a = a, b2 = lens[i];
+    int64_t a2 = a;
+    while (a2 < b2) {  // upper_bound of v
+      int64_t m = (a2 + b2) >> 1;
+      if (runs[i][m] <= static_cast<uint32_t>(v)) a2 = m + 1; else b2 = m;
+    }
+    int64_t eq = a2 - eq_a;
+    int64_t take = remaining < eq ? remaining : eq;
+    cursors[i] = eq_a + take;
+    remaining -= take;
+  }
+}
+
+struct HeapEntryU32 {
+  uint32_t key;
+  int32_t run;
+  int64_t pos;
+};
+
+inline bool heap_less(const HeapEntryU32& a, const HeapEntryU32& b) {
+  return a.key < b.key || (a.key == b.key && a.run < b.run);
+}
+
+}  // namespace
+
+extern "C" {
+
+void rt_kway_merge_u32(const uint32_t* const* runs, const int64_t* lens,
+                       int k, int64_t n, uint32_t* out,
+                       const uint32_t* const* vruns, uint32_t* vout) {
+  if (k <= 0 || n <= 0) return;
+  int nt = hw_threads();
+  if (n < (1 << 16)) nt = 1;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; t++) {
+    int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+    if (lo >= hi) continue;
+    ts.emplace_back([=]() {
+      std::vector<int64_t> cur(k);
+      split_at_rank_u32(runs, lens, k, lo, cur.data());
+      // binary min-heap of run heads
+      std::vector<HeapEntryU32> heap;
+      heap.reserve(k);
+      for (int i = 0; i < k; i++) {
+        if (cur[i] < lens[i]) {
+          heap.push_back({runs[i][cur[i]], i, cur[i]});
+        }
+      }
+      auto sift_up = [&](size_t j) {
+        while (j > 0) {
+          size_t p = (j - 1) >> 1;
+          if (heap_less(heap[j], heap[p])) {
+            std::swap(heap[j], heap[p]);
+            j = p;
+          } else break;
+        }
+      };
+      auto sift_down = [&](size_t j) {
+        for (;;) {
+          size_t l = 2 * j + 1, r = l + 1, m = j;
+          if (l < heap.size() && heap_less(heap[l], heap[m])) m = l;
+          if (r < heap.size() && heap_less(heap[r], heap[m])) m = r;
+          if (m == j) break;
+          std::swap(heap[j], heap[m]);
+          j = m;
+        }
+      };
+      for (size_t j = heap.size(); j-- > 0;) sift_down(j);
+      (void)sift_up;
+      for (int64_t o = lo; o < hi; o++) {
+        HeapEntryU32 top = heap[0];
+        out[o] = top.key;
+        if (vout) vout[o] = vruns[top.run][top.pos];
+        int64_t np = top.pos + 1;
+        if (np < lens[top.run]) {
+          heap[0] = {runs[top.run][np], top.run, np};
+        } else {
+          heap[0] = heap.back();
+          heap.pop_back();
+        }
+        if (!heap.empty()) sift_down(0);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

@@ -1,0 +1,87 @@
+"""External (out-of-core) sort: datasets larger than one chip's HBM.
+
+The scaling mechanism the reference applies INSIDE one GPU — portioning the
+input so fixed-size resources cover any N (2^30 histogram portions, 2^28
+onesweep portions; SURVEY §5 "long-context analogue") — applied at the
+host/device boundary: the device sorts HBM-sized chunks at engine speed,
+and the native host runtime (csrc/hostutils.cpp::rt_kway_merge_u32, a
+threaded merge-path k-way merge) combines the returned runs. Host RAM is
+the capacity limit, not HBM.
+
+Stability: chunks are taken in input order and the native merge breaks key
+ties by run index, so the whole pipeline is a stable sort. Payload columns
+ride the same merge.
+
+This is a HOST-level operator (numpy in, numpy out, one device round trip
+per chunk) — the deliberate exception to the everything-jits rule, since
+its reason to exist is exceeding device memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cuda.radixsort_tpu import config as config_lib
+from cuda.radixsort_tpu.utils import native
+
+
+def sort_external(
+    keys: np.ndarray,
+    *,
+    chunk: int = 1 << 27,
+    config: config_lib.SortConfig | None = None,
+) -> np.ndarray:
+    """Ascending sort of a host u32 array of any size that fits host RAM.
+
+    chunk: rows sorted on-device per round trip (default 2^27 = 512 MiB of
+    key+buffer traffic — comfortably inside one v5e next to the engine's
+    working set).
+    """
+    if keys.dtype != np.uint32:
+        raise TypeError("sort_external: u32 keys (twiddle wider dtypes "
+                        "into limbs or use sort_external_pairs)")
+    from cuda.radixsort_tpu.ops.sort import sort as _sort
+
+    n = keys.shape[0]
+    if n <= chunk:
+        return np.asarray(_sort(jnp.asarray(keys), config=config))
+    dev_sort = jax.jit(lambda x: _sort(x, config=config), donate_argnums=0)
+    runs = []
+    for lo in range(0, n, chunk):
+        piece = jnp.asarray(keys[lo: lo + chunk])
+        runs.append(np.asarray(dev_sort(piece)))
+    return native.kway_merge_u32(runs)
+
+
+def sort_external_pairs(
+    keys: np.ndarray,
+    values: np.ndarray,
+    *,
+    chunk: int = 1 << 26,
+    config: config_lib.SortConfig | None = None,
+):
+    """Stable key-value external sort (u32 keys, 4-byte payload)."""
+    if keys.dtype != np.uint32:
+        raise TypeError("sort_external_pairs: u32 keys")
+    if values.dtype.itemsize != 4:
+        raise TypeError("sort_external_pairs: 4-byte payload dtype")
+    from cuda.radixsort_tpu.ops.sort import sort_pairs as _sort_pairs
+
+    n = keys.shape[0]
+    if n <= chunk:
+        ok, ov = _sort_pairs(jnp.asarray(keys), jnp.asarray(values),
+                             config=config)
+        return np.asarray(ok), np.asarray(ov)
+    dev_sort = jax.jit(lambda k, v: _sort_pairs(k, v, config=config),
+                       donate_argnums=(0, 1))
+    kruns, vruns = [], []
+    for lo in range(0, n, chunk):
+        ok, ov = dev_sort(jnp.asarray(keys[lo: lo + chunk]),
+                          jnp.asarray(values[lo: lo + chunk]))
+        kruns.append(np.asarray(ok))
+        vruns.append(np.asarray(ov))
+    mk, mv = native.kway_merge_u32(kruns, vruns)
+    return mk, mv.view(values.dtype)

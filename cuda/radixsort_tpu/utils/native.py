@@ -79,6 +79,10 @@ def lib():
         L.rt_verify_sorted_u64.restype = ctypes.c_int64
         L.rt_compare_u64.argtypes = [u64p, u64p, ctypes.c_int64]
         L.rt_compare_u64.restype = ctypes.c_int64
+        L.rt_kway_merge_u32.argtypes = [
+            ctypes.POINTER(u32p), i64p, ctypes.c_int, ctypes.c_int64,
+            u32p, ctypes.POINTER(u32p), u32p,
+        ]
         _lib = L
         return _lib
 
@@ -218,3 +222,45 @@ def compare_u64(a: np.ndarray, b: np.ndarray) -> int:
     aa = np.ascontiguousarray(a, np.uint64)
     bb = np.ascontiguousarray(b, np.uint64)
     return int(L.rt_compare_u64(_p64(aa), _p64(bb), aa.shape[0]))
+
+
+def kway_merge_u32(runs, vruns=None):
+    """Stable threaded k-way merge of ascending u32 runs (the host half of
+    the external sort). Equal keys keep run order (run-major), so merging
+    device-sorted chunks preserves global stability.
+
+    runs: list of ascending np.uint32 arrays. vruns: optional matching list
+    of u32-viewable payload arrays. Returns merged keys (and payloads).
+    """
+    import ctypes as ct
+
+    runs = [np.ascontiguousarray(r, np.uint32) for r in runs]
+    k = len(runs)
+    n = int(sum(r.shape[0] for r in runs))
+    if vruns is not None:
+        if len(vruns) != k:
+            raise ValueError("one payload run per key run")
+        vruns = [np.ascontiguousarray(v).view(np.uint32) for v in vruns]
+        for r, v in zip(runs, vruns):
+            if v.shape[0] != r.shape[0]:
+                raise ValueError("payload run length mismatch")
+    L = lib()
+    if L is None:  # pure-numpy fallback: stable argsort of the concat
+        ck = np.concatenate(runs) if k else np.empty(0, np.uint32)
+        perm = np.argsort(ck, kind="stable")
+        if vruns is None:
+            return ck[perm]
+        return ck[perm], np.concatenate(vruns)[perm]
+    out = np.empty(n, np.uint32)
+    u32p = ct.POINTER(ct.c_uint32)
+    run_ptrs = (u32p * k)(*[_p32(r) for r in runs])
+    lens = (ct.c_int64 * k)(*[r.shape[0] for r in runs])
+    if vruns is None:
+        L.rt_kway_merge_u32(run_ptrs, lens, k, n, _p32(out),
+                            ct.cast(None, ct.POINTER(u32p)),
+                            ct.cast(None, u32p))
+        return out
+    vout = np.empty(n, np.uint32)
+    vptrs = (u32p * k)(*[_p32(v) for v in vruns])
+    L.rt_kway_merge_u32(run_ptrs, lens, k, n, _p32(out), vptrs, _p32(vout))
+    return out, vout

@@ -1,0 +1,62 @@
+"""External (out-of-core) sort: native k-way merge + chunked device sorts."""
+
+import numpy as np
+import pytest
+
+from cuda.radixsort_tpu.ops.external import sort_external, sort_external_pairs
+from cuda.radixsort_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(8)
+
+
+def test_kway_merge_stability(rng):
+    runs = [np.sort(rng.integers(0, 40, size=m, dtype=np.uint32))
+            for m in (700, 33, 0, 2000, 1)]
+    tags = [np.full(r.shape[0], i, np.uint32) for i, r in enumerate(runs)]
+    mk, mt = native.kway_merge_u32(runs, tags)
+    ck = np.concatenate(runs)
+    perm = np.argsort(ck, kind="stable")
+    np.testing.assert_array_equal(mk, ck[perm])
+    np.testing.assert_array_equal(mt, np.concatenate(tags)[perm])
+
+
+def test_kway_merge_full_range_threaded(rng):
+    runs = [np.sort(rng.integers(0, 2**32, size=1 << 17, dtype=np.uint32))
+            for _ in range(6)]
+    runs.append(np.array([0, 0xFFFFFFFF], np.uint32))  # extremes
+    got = native.kway_merge_u32(runs)
+    np.testing.assert_array_equal(got, np.sort(np.concatenate(runs)))
+
+
+def test_kway_merge_single_and_empty(rng):
+    r = np.sort(rng.integers(0, 2**32, size=500, dtype=np.uint32))
+    np.testing.assert_array_equal(native.kway_merge_u32([r]), r)
+    np.testing.assert_array_equal(
+        native.kway_merge_u32([r, np.empty(0, np.uint32)]), r)
+
+
+def test_sort_external(rng):
+    x = rng.integers(0, 2**32, size=(1 << 19) + 123, dtype=np.uint32)
+    got = sort_external(x, chunk=1 << 16)
+    np.testing.assert_array_equal(got, np.sort(x))
+    # single-chunk path
+    got2 = sort_external(x[: 1 << 12], chunk=1 << 16)
+    np.testing.assert_array_equal(got2, np.sort(x[: 1 << 12]))
+
+
+def test_sort_external_pairs_stable(rng):
+    k = rng.integers(0, 64, size=(1 << 17) + 9, dtype=np.uint32)
+    v = np.arange(k.shape[0], dtype=np.int32)
+    mk, mv = sort_external_pairs(k, v, chunk=1 << 15)
+    p = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(mk, k[p])
+    np.testing.assert_array_equal(mv, v[p])
+    assert mv.dtype == np.int32
+
+
+def test_sort_external_rejects_wrong_dtype(rng):
+    with pytest.raises(TypeError):
+        sort_external(np.zeros(10, np.uint64))

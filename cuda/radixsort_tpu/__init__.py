@@ -44,6 +44,12 @@ from cuda.radixsort_tpu.ops.merge import (  # noqa: F401
     merge_sorted,
     merge_sorted_pairs,
 )
+from cuda.radixsort_tpu.ops.setops import (  # noqa: F401
+    set_difference,
+    set_intersection,
+    set_symmetric_difference,
+    set_union,
+)
 from cuda.radixsort_tpu.ops.histogram import (  # noqa: F401
     digit_histogram,
     histogram_even,

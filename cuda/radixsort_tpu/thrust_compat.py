@@ -152,6 +152,35 @@ def merge_by_key(a_keys, a_values, b_keys, b_values, comp: Callable = less,
                               descending=desc, config=config)
 
 
+def set_intersection(a, b, *, config=None):
+    """thrust::set_intersection (sorted multiset semantics) → (padded,
+    count)."""
+    from cuda.radixsort_tpu.ops.setops import set_intersection as _f
+
+    return _f(a, b, config=config)
+
+
+def set_union(a, b, *, config=None):
+    """thrust::set_union → (padded, count)."""
+    from cuda.radixsort_tpu.ops.setops import set_union as _f
+
+    return _f(a, b, config=config)
+
+
+def set_difference(a, b, *, config=None):
+    """thrust::set_difference → (padded, count)."""
+    from cuda.radixsort_tpu.ops.setops import set_difference as _f
+
+    return _f(a, b, config=config)
+
+
+def set_symmetric_difference(a, b, *, config=None):
+    """thrust::set_symmetric_difference → (padded, count)."""
+    from cuda.radixsort_tpu.ops.setops import set_symmetric_difference as _f
+
+    return _f(a, b, config=config)
+
+
 def unique(keys, *, config=None):
     """thrust::unique (consecutive dedup) → (padded_keys, count)."""
     from cuda.radixsort_tpu.ops.unique import unique as _unique

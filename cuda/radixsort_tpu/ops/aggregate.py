@@ -24,7 +24,11 @@ from cuda.radixsort_tpu import config as config_lib
 from cuda.radixsort_tpu.ops.filter import filter_columns as _filter_columns
 from cuda.radixsort_tpu.ops.sort import sort_pairs as _sort_pairs
 
-_AGGS = ("sum", "count", "min", "max")
+_AGGS = ("sum", "count", "min", "max", "mean")
+
+
+def _mean_dtype(dtype):
+    return dtype if jnp.issubdtype(dtype, jnp.floating) else jnp.float32
 
 
 def _segmented_total_at_start(values, is_start, agg):
@@ -100,7 +104,14 @@ def groupby(
         is_start = is_start | jnp.concatenate(
             [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]]
         )
-    totals = _segmented_total_at_start(svals, is_start, agg)
+    if agg == "mean":
+        sums = _segmented_total_at_start(svals, is_start, "sum")
+        cnts = _segmented_total_at_start(
+            jnp.ones((n,), jnp.int32), is_start, "sum")
+        totals = (sums.astype(_mean_dtype(svals.dtype))
+                  / cnts.astype(_mean_dtype(svals.dtype)))
+    else:
+        totals = _segmented_total_at_start(svals, is_start, agg)
     keep = is_start if valid_sorted is None else (is_start & valid_sorted)
     # NB: unlike join/query, this compaction keeps the Pallas stage —
     # measured 40.1 ms vs 47.5 ms with the xla filter @2^22 (the scan chain
@@ -167,10 +178,19 @@ def groupby_multi(
     if valid_sorted is not None:
         is_start = is_start | jnp.concatenate(
             [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]])
-    totals = tuple(
-        _segmented_total_at_start(sv, is_start,
-                                  "sum" if a == "count" else a)
-        for sv, a in zip(svals, agg_ops))
+    seg_counts = (_segmented_total_at_start(
+        jnp.ones((n,), jnp.int32), is_start, "sum")
+        if "mean" in agg_ops else None)
+
+    def _total(sv, a):
+        if a == "mean":
+            s = _segmented_total_at_start(sv, is_start, "sum")
+            md = _mean_dtype(sv.dtype)
+            return s.astype(md) / seg_counts.astype(md)
+        return _segmented_total_at_start(sv, is_start,
+                                         "sum" if a == "count" else a)
+
+    totals = tuple(_total(sv, a) for sv, a in zip(svals, agg_ops))
     keep = is_start if valid_sorted is None else (is_start & valid_sorted)
     cols, count = _filter_columns(keep, skeys + totals, config=cfg)
     nk = len(skeys)

@@ -389,46 +389,41 @@ def _dist_join(cols, cnt, st, build, config):
 
 
 def _dist_groupby(cols, cnt, st, ndev, axis_name, config):
-    """Two-phase: local partial aggregate -> hash-exchange partial groups ->
-    final aggregate of received partials (validity by explicit masks — the
-    counts-based cousin of shuffle.groupby_distributed)."""
-    from cuda.radixsort_tpu.ops.aggregate import groupby as groupby_op
-    from cuda.radixsort_tpu.parallel.shuffle import (
-        _owner_of_keys,
-        exchange_rows,
-    )
-
+    """Single-key single-agg distributed groupby = the multi form with one
+    key and one aggregate (same output naming as the single-chip stage)."""
     key, value, agg = st.args
-    rows = next(iter(cols.values())).shape[0]
-    agg1 = "sum" if agg == "count" else agg
-    vals = (jnp.ones((rows,), jnp.int32) if agg == "count"
-            else cols[value])
-    gk, gv, c1 = groupby_op(
-        cols[key], vals, agg=agg1,
-        valid=jnp.arange(rows, dtype=jnp.int32) < cnt, config=config)
-    dest = jnp.where(jnp.arange(gk.shape[0], dtype=jnp.int32) < c1,
-                     _owner_of_keys(gk, ndev), ndev)
-    (rk, rv), rvalid = exchange_rows([gk, gv], dest, ndev, axis_name,
-                                     gk.shape[0])
-    k2, v2, c2 = groupby_op(rk, rv, agg=agg1, valid=rvalid, config=config)
     out_name = value if value != key else agg
-    return {key: k2, out_name: v2}, c2.astype(jnp.int32)
+    st2 = _Stage("groupby_agg", ((key,), ((out_name, value, agg),)), {})
+    return _dist_groupby_agg(cols, cnt, st2, ndev, axis_name, config)
 
 
 def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):
     """Two-phase multi-key multi-agg: local partials, hash-of-key-tuple
-    exchange, final re-aggregation (count partials re-reduce as sums)."""
-    from cuda.radixsort_tpu.ops.aggregate import groupby_multi
+    exchange, final re-aggregation. Non-decomposable aggregates travel as
+    their decomposition: count partials re-reduce as sums, mean travels as
+    a (sum, count) pair divided after the final phase."""
+    from cuda.radixsort_tpu.ops.aggregate import _mean_dtype, groupby_multi
     from cuda.radixsort_tpu.ops.partition import hash32
     from cuda.radixsort_tpu.parallel.shuffle import exchange_rows
 
     keys, aggs = st.args
-    names = [n for n, _, _ in aggs]
+    # expand: one partial column per decomposed aggregate
+    part_vals, part_aggs, assemble = [], [], []
+    for n_, v, a in aggs:
+        if a == "mean":
+            assemble.append((n_, "mean", len(part_vals), len(part_vals) + 1,
+                             cols[v].dtype))
+            part_vals += [v, v]
+            part_aggs += ["sum", "count"]
+        else:
+            assemble.append((n_, a, len(part_vals), None, None))
+            part_vals.append(v)
+            part_aggs.append(a)
     rows = next(iter(cols.values())).shape[0]
     kc, vc, c1 = groupby_multi(
         tuple(cols[k] for k in keys),
-        tuple(cols[v] for _, v, _ in aggs),
-        tuple(a for _, _, a in aggs),
+        tuple(cols[v] for v in part_vals),
+        tuple(part_aggs),
         valid=jnp.arange(rows, dtype=jnp.int32) < cnt, config=config)
     h = hash32(kc[0])
     for col in kc[1:]:
@@ -438,12 +433,16 @@ def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):
     recv, rvalid = exchange_rows(list(kc) + list(vc), dest, ndev,
                                  axis_name, kc[0].shape[0])
     nk = len(keys)
-    # re-aggregation: partial counts are already sums
-    re_aggs = tuple("sum" if a == "count" else a for _, _, a in aggs)
+    re_aggs = tuple("sum" if a == "count" else a for a in part_aggs)
     k2, v2, c2 = groupby_multi(tuple(recv[:nk]), tuple(recv[nk:]),
                                re_aggs, valid=rvalid, config=config)
     out = dict(zip(keys, k2))
-    out.update(zip(names, v2))
+    for n_, a, i, j, vdtype in assemble:
+        if a == "mean":
+            md = _mean_dtype(vdtype)
+            out[n_] = v2[i].astype(md) / v2[j].astype(md)
+        else:
+            out[n_] = v2[i]
     return out, c2.astype(jnp.int32)
 
 

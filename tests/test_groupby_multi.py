@@ -17,6 +17,11 @@ def rng():
     return np.random.default_rng(44)
 
 
+@pytest.fixture(scope="module")
+def mesh():
+    return dsort.make_mesh()
+
+
 def _oracle(a, b, v, mask=None):
     if mask is None:
         mask = np.ones(a.shape[0], bool)
@@ -136,3 +141,113 @@ def test_query_groupby_agg_single_and_distributed(rng):
                 np.asarray(do["hi"])[sl]):
             dgot[(int(ka), int(kb))] = (int(s), int(c), int(hi))
     assert dgot == oracle
+
+
+def test_groupby_mean_single(rng):
+    """mean on the single-chip groupby: int values -> f32 means."""
+    from cuda.radixsort_tpu.ops.aggregate import groupby
+    n = 2000
+    k = rng.integers(0, 11, size=n).astype(np.uint32)
+    v = rng.integers(-40, 40, size=n).astype(np.int32)
+    gk, gv, cnt = groupby(jnp.asarray(k), jnp.asarray(v), agg="mean")
+    cnt = int(cnt)
+    assert gv.dtype == jnp.float32
+    uk = np.unique(k)
+    assert cnt == uk.shape[0]
+    np.testing.assert_array_equal(np.asarray(gk)[:cnt], uk)
+    want = np.array([v[k == u].mean() for u in uk], np.float32)
+    np.testing.assert_allclose(np.asarray(gv)[:cnt], want, rtol=1e-6)
+
+
+def test_groupby_mean_float_dtype(rng):
+    """float values keep their dtype through mean."""
+    from cuda.radixsort_tpu.ops.aggregate import groupby
+    n = 512
+    k = rng.integers(0, 5, size=n).astype(np.uint32)
+    v = rng.random(n).astype(np.float32)
+    gk, gv, cnt = groupby(jnp.asarray(k), jnp.asarray(v), agg="mean")
+    cnt = int(cnt)
+    assert gv.dtype == jnp.float32
+    uk = np.unique(k)
+    want = np.array([v[k == u].mean() for u in uk], np.float64)
+    np.testing.assert_allclose(np.asarray(gv)[:cnt], want, rtol=1e-5)
+
+
+def test_groupby_multi_mean_mixed(rng):
+    """mean mixed with sum/count in one groupby_multi call."""
+    n = 3000
+    a = rng.integers(0, 6, size=n).astype(np.uint32)
+    v = rng.integers(0, 100, size=n).astype(np.int32)
+    kc, vc, cnt = groupby_multi(
+        (jnp.asarray(a),),
+        (jnp.asarray(v), jnp.asarray(v), jnp.asarray(v)),
+        ("sum", "mean", "count"))
+    cnt = int(cnt)
+    uk = np.unique(a)
+    assert cnt == uk.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(vc[0])[:cnt], [v[a == u].sum() for u in uk])
+    np.testing.assert_allclose(
+        np.asarray(vc[1])[:cnt],
+        np.array([v[a == u].mean() for u in uk], np.float32), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(vc[2])[:cnt], [(a == u).sum() for u in uk])
+
+
+def test_query_groupby_mean_distributed(mesh, rng):
+    """mean travels as (sum, count) through the two-phase exchange and is
+    assembled after the final re-aggregation — dist result == single-chip."""
+    n = 8 * 512 + 7
+    k = rng.integers(0, 23, size=n, dtype=np.uint32)
+    v = rng.integers(0, 1000, size=n).astype(np.int32)
+    t = table(k=jnp.asarray(k), v=jnp.asarray(v))
+
+    def plan(t):
+        return (Query(t)
+                .groupby_agg(["k"], {"m": ("v", "mean"),
+                                     "s": ("v", "sum")}))
+
+    so, sc, _ = plan(t).run()
+    sc = int(sc)
+    uk = np.unique(k)
+    assert sc == uk.shape[0]
+    want_m = {int(u): v[k == u].mean() for u in uk}
+    want_s = {int(u): int(v[k == u].sum()) for u in uk}
+    for kk, m, s in zip(np.asarray(so["k"])[:sc], np.asarray(so["m"])[:sc],
+                        np.asarray(so["s"])[:sc]):
+        np.testing.assert_allclose(m, want_m[int(kk)], rtol=1e-6)
+        assert int(s) == want_s[int(kk)]
+
+    do, dcounts, _ = plan(t).run(mesh=mesh)
+    dcounts = np.asarray(dcounts)
+    rows = np.asarray(do["k"]).shape[0] // dcounts.shape[0]
+    seen = 0
+    for d in range(dcounts.shape[0]):
+        sl = slice(d * rows, d * rows + dcounts[d])
+        for kk, m in zip(np.asarray(do["k"])[sl], np.asarray(do["m"])[sl]):
+            np.testing.assert_allclose(m, want_m[int(kk)], rtol=1e-6)
+            seen += 1
+    assert seen == uk.shape[0]
+
+
+def test_query_groupby_single_mean_distributed(mesh, rng):
+    """Query.groupby(..., agg='mean') on a mesh routes through the
+    decomposed path (it cannot re-aggregate means directly)."""
+    n = 8 * 256
+    k = rng.integers(0, 9, size=n, dtype=np.uint32)
+    v = rng.integers(0, 50, size=n).astype(np.int32)
+    t = table(k=jnp.asarray(k), v=jnp.asarray(v))
+    out, counts, _ = (Query(t).groupby("k", "v", agg="mean")
+                      .run(mesh=mesh))
+    counts = np.asarray(counts)
+    rows = np.asarray(out["k"]).shape[0] // counts.shape[0]
+    uk = np.unique(k)
+    want = {int(u): v[k == u].mean() for u in uk}
+    seen = 0
+    for d in range(counts.shape[0]):
+        sl = slice(d * rows, d * rows + counts[d])
+        for kk, m in zip(np.asarray(out["k"])[sl],
+                         np.asarray(out["v"])[sl]):
+            np.testing.assert_allclose(m, want[int(kk)], rtol=1e-6)
+            seen += 1
+    assert seen == uk.shape[0]

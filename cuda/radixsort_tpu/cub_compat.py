@@ -258,6 +258,46 @@ class DevicePartition:
         return DeviceSelect.If(d_in, select_op, num_items, stream,
                                config=config)
 
+    @staticmethod
+    def ThreeWay(d_in, select_first_part_op, select_second_part_op,
+                 num_items: int | None = None, stream: Any = None, *,
+                 config=None):
+        """cub::DevicePartition three-way split (device_partition.cuh:412,
+        DispatchThreeWayPartitionIf): items matching the first predicate,
+        then items matching the second (of the rest), then the unselected —
+        ALL three stably ordered.
+
+        TPU-native: ONE stable 2-bit radix pass on the category id (the
+        same counting-pass engine as the 1-bit filter), then dynamic rolls
+        align each part at index 0. Returns (first_part, second_part,
+        unselected, num_selected) with num_selected = (2,) int32 counts of
+        the first two parts; each output is full length, valid in its
+        prefix.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from cuda.radixsort_tpu import config as config_lib
+        from cuda.radixsort_tpu.kernels.pipeline import stage_width
+        from cuda.radixsort_tpu.ops.sort import sort_pairs
+
+        x, _ = _unwrap(d_in)
+        leaves = jax.tree_util.tree_leaves(x)
+        _check_items(leaves[0], num_items)
+        first = select_first_part_op(x)
+        second = jnp.logical_and(jnp.logical_not(first),
+                                 select_second_part_op(x))
+        cat = jnp.where(first, jnp.uint32(0),
+                        jnp.where(second, jnp.uint32(1), jnp.uint32(2)))
+        cfg = config_lib.for_partition(config_lib.resolve(config), bits=2)
+        _, out = sort_pairs(cat, x, begin_bit=0,
+                            end_bit=max(2, stage_width(cfg)), config=cfg)
+        n1 = jnp.sum(first.astype(jnp.int32))
+        n2 = jnp.sum(second.astype(jnp.int32))
+        roll = lambda t, s: jax.tree_util.tree_map(
+            lambda a: jnp.roll(a, -s, axis=0), t)
+        return out, roll(out, n1), roll(out, n1 + n2), jnp.stack([n1, n2])
+
 
 class DeviceRunLengthEncode:
     """Parity: cub::DeviceRunLengthEncode (device_run_length_encode.cuh)."""
@@ -380,6 +420,78 @@ class DeviceScan:
         _check_items(x, num_items)
         return _rewrap(jax.lax.associative_scan(scan_op, x), d_in, wrapped)
 
+    @staticmethod
+    def InclusiveScanInit(d_in, scan_op, init_value,
+                          num_items: int | None = None, stream: Any = None):
+        """Inclusive scan with `init_value` folded into the first element
+        (device_scan.cuh:1144)."""
+        import jax
+        import jax.numpy as jnp
+
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        out = scan_op(jnp.asarray(init_value, x.dtype),
+                      jax.lax.associative_scan(scan_op, x))
+        return _rewrap(out, d_in, wrapped)
+
+    # ---- by-key scans (device_scan.cuh:1178-1801): segments are runs of
+    # consecutive equal keys; backed by ops/scan.py's segmented monoid.
+
+    @staticmethod
+    def InclusiveSumByKey(d_keys_in, d_values_in,
+                          num_items: int | None = None,
+                          equality_op=None, stream: Any = None):
+        from cuda.radixsort_tpu.ops.scan import scan_by_key
+
+        k, _ = _unwrap(d_keys_in)
+        v, wrapped = _unwrap(d_values_in)
+        _check_items(v, num_items)
+        out = scan_by_key(k, v, "sum", equality_op=equality_op)
+        return _rewrap(out, d_values_in, wrapped)
+
+    @staticmethod
+    def ExclusiveSumByKey(d_keys_in, d_values_in,
+                          num_items: int | None = None,
+                          equality_op=None, stream: Any = None):
+        from cuda.radixsort_tpu.ops.scan import scan_by_key
+
+        k, _ = _unwrap(d_keys_in)
+        v, wrapped = _unwrap(d_values_in)
+        _check_items(v, num_items)
+        out = scan_by_key(k, v, "sum", exclusive=True,
+                          equality_op=equality_op)
+        return _rewrap(out, d_values_in, wrapped)
+
+    @staticmethod
+    def InclusiveScanByKey(d_keys_in, d_values_in, scan_op,
+                           num_items: int | None = None,
+                           equality_op=None, stream: Any = None):
+        """scan_op: "sum"|"prod"|"min"|"max" or a traceable associative
+        binary op."""
+        from cuda.radixsort_tpu.ops.scan import scan_by_key
+
+        k, _ = _unwrap(d_keys_in)
+        v, wrapped = _unwrap(d_values_in)
+        _check_items(v, num_items)
+        out = scan_by_key(k, v, scan_op, equality_op=equality_op)
+        return _rewrap(out, d_values_in, wrapped)
+
+    @staticmethod
+    def ExclusiveScanByKey(d_keys_in, d_values_in, scan_op, init_value,
+                           num_items: int | None = None,
+                           equality_op=None, stream: Any = None, *,
+                           identity=None):
+        """init_value seeds EVERY segment (CUB contract). A callable
+        scan_op additionally needs identity= (its neutral element)."""
+        from cuda.radixsort_tpu.ops.scan import scan_by_key
+
+        k, _ = _unwrap(d_keys_in)
+        v, wrapped = _unwrap(d_values_in)
+        _check_items(v, num_items)
+        out = scan_by_key(k, v, scan_op, exclusive=True, init=init_value,
+                          identity=identity, equality_op=equality_op)
+        return _rewrap(out, d_values_in, wrapped)
+
 
 class DeviceReduce:
     """Parity: cub::DeviceReduce (device_reduce.cuh)."""
@@ -439,6 +551,51 @@ class DeviceReduce:
         _check_items(x, num_items)
         total = jax.lax.associative_scan(reduction_op, x)[-1]
         return reduction_op(jnp.asarray(init, x.dtype), total)
+
+    @staticmethod
+    def TransformReduce(d_in, reduction_op, transform_op, init,
+                        num_items: int | None = None, stream: Any = None):
+        """Fused transform + reduce (device_reduce.cuh TransformReduce);
+        XLA fuses the elementwise map into the reduction for free."""
+        import jax
+        import jax.numpy as jnp
+
+        x, _ = _unwrap(d_in)
+        _check_items(x, num_items)
+        t = transform_op(x)
+        total = jax.lax.associative_scan(reduction_op, t)[-1]
+        return reduction_op(jnp.asarray(init, t.dtype), total)
+
+    @staticmethod
+    def ReduceByKey(d_keys_in, d_values_in, reduction_op=None,
+                    num_items: int | None = None, stream: Any = None, *,
+                    config=None):
+        """Reduce runs of CONSECUTIVE equal keys (device_reduce.cuh
+        ReduceByKey — run-based, like thrust::reduce_by_key; this is NOT a
+        global group-by). reduction_op: None (sum), "sum"|"prod"|"min"|
+        "max", or a traceable associative binary op.
+
+        Returns (unique_keys, aggregates, num_runs) — outputs padded past
+        num_runs. TPU-native shape: one segmented inclusive scan (the run
+        total lands on each run's LAST slot, where the keys still equal the
+        run's key), then one stable compaction of the run-end rows — no
+        atomics, no per-run launches.
+        """
+        import jax.numpy as jnp
+
+        from cuda.radixsort_tpu.ops.filter import filter_columns
+        from cuda.radixsort_tpu.ops.scan import scan_by_key
+
+        k, _ = _unwrap(d_keys_in)
+        v, _ = _unwrap(d_values_in)
+        _check_items(v, num_items)
+        op = "sum" if reduction_op is None else reduction_op
+        scanned = scan_by_key(k, v, op)
+        ends = jnp.concatenate(
+            [k[1:] != k[:-1], jnp.ones((1,), bool)])
+        (uk, agg), num_runs = filter_columns(ends, (k, scanned),
+                                             config=config)
+        return uk, agg, num_runs
 
 
 class DeviceSegmentedReduce:
@@ -686,3 +843,101 @@ class DeviceMergeSort:
         return DeviceMergeSort.SortPairs(d_keys, d_values, num_items,
                                          compare_op, stream, stable=True,
                                          config=config)
+
+
+class DeviceCopy:
+    """Parity: cub::DeviceCopy (device_copy.cuh). CUB's Batched copies
+    num_buffers independent ranges in one launch (a tail-latency play for
+    many small copies). The static-shape TPU analogue: all source ranges
+    live in ONE flat array, all destination ranges in another, and the
+    whole batch is a single fused gather — searchsorted attributes each
+    output slot to its buffer, so ragged buffers cost nothing extra."""
+
+    @staticmethod
+    def Batched(d_src, d_dst, src_offsets, dst_offsets, sizes,
+                num_buffers: int | None = None, stream: Any = None):
+        """Copy range i: src[src_offsets[i] : +sizes[i]] into
+        dst[dst_offsets[i] : +sizes[i]]. Destination ranges must not
+        overlap (CUB's contract too); they need not be sorted. Returns the
+        updated dst (functional)."""
+        import jax.numpy as jnp
+
+        src, _ = _unwrap(d_src)
+        dst, wrapped = _unwrap(d_dst)
+        so = jnp.asarray(src_offsets, jnp.int32)
+        do = jnp.asarray(dst_offsets, jnp.int32)
+        sz = jnp.asarray(sizes, jnp.int32)
+        if num_buffers is not None and so.shape[0] != num_buffers:
+            raise ValueError(
+                f"num_buffers={num_buffers} != offsets length {so.shape[0]}")
+        nb = so.shape[0]
+        if nb == 0:
+            return _rewrap(dst, d_dst, wrapped)
+        order = jnp.argsort(do)
+        so, do, sz = so[order], do[order], sz[order]
+        i = jnp.arange(dst.shape[0], dtype=jnp.int32)
+        j = jnp.searchsorted(do, i, side="right").astype(jnp.int32) - 1
+        jc = jnp.clip(j, 0, nb - 1)
+        rel = i - do[jc]
+        covered = (j >= 0) & (rel < sz[jc])
+        src_idx = jnp.clip(so[jc] + rel, 0, src.shape[0] - 1)
+        out = jnp.where(covered, src[src_idx], dst)
+        return _rewrap(out, d_dst, wrapped)
+
+
+class DeviceMemcpy:
+    """Parity: cub::DeviceMemcpy (device_memcpy.cuh). Identical surface to
+    DeviceCopy.Batched; CUB splits the classes only because Memcpy is
+    byte-typed. Here ranges are in ELEMENTS of the given arrays (reshape/
+    view to uint8 for byte semantics)."""
+
+    Batched = DeviceCopy.Batched
+
+
+class DeviceFor:
+    """Parity: cub::DeviceFor (device_for.cuh). CUB's op(i) mutates global
+    state; under XLA the functional equivalent returns op's value per
+    index/item as an array (vmap), which the compiler fuses into
+    neighboring ops — the same zero-materialization result as CUB's
+    for-each-fused-into-load."""
+
+    @staticmethod
+    def Bulk(shape, op, stream: Any = None):
+        """op over [0, shape) indices; returns stacked op(i)."""
+        import jax
+        import jax.numpy as jnp
+
+        return jax.vmap(op)(jnp.arange(shape))
+
+    @staticmethod
+    def ForEach(d_in, op, num_items: int | None = None, stream: Any = None):
+        import jax
+
+        x, _ = _unwrap(d_in)
+        _check_items(x, num_items)
+        return jax.vmap(op)(x)
+
+    @staticmethod
+    def ForEachN(d_in, num_items: int, op, stream: Any = None):
+        import jax
+
+        x, _ = _unwrap(d_in)
+        return jax.vmap(op)(x[:num_items])
+
+    # CUB distinguishes Copy variants only by load strategy (they copy
+    # items to registers before applying op); functionally identical here.
+    ForEachCopy = ForEach
+    ForEachCopyN = ForEachN
+
+    @staticmethod
+    def ForEachInExtents(extents, op, stream: Any = None):
+        """op(i0, i1, ...) over the index grid of `extents` (a tuple of
+        static ints); returns an array shaped `extents`."""
+        import jax
+        import jax.numpy as jnp
+
+        grids = jnp.meshgrid(
+            *[jnp.arange(e) for e in extents], indexing="ij")
+        flat = [g.reshape(-1) for g in grids]
+        out = jax.vmap(lambda *idx: op(*idx))(*flat)
+        return out.reshape(extents + out.shape[1:])

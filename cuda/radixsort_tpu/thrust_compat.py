@@ -387,3 +387,151 @@ def _bound(sorted_x, queries, comp, side):
         pos = jnp.searchsorted(rev, queries, side=flip)
         return (sorted_x.shape[0] - pos).astype(jnp.int32)
     return jnp.searchsorted(sorted_x, queries, side=side).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# scans by key (thrust::inclusive_scan_by_key / exclusive_scan_by_key) —
+# run-based segments (consecutive equal keys), ops/scan.py monoid
+# ---------------------------------------------------------------------------
+
+
+def inclusive_scan_by_key(keys, values, binary_op=None,
+                          binary_pred: Callable | None = None):
+    """thrust::inclusive_scan_by_key (segments = consecutive equal keys)."""
+    from cuda.radixsort_tpu.ops.scan import scan_by_key
+
+    op = "sum" if binary_op is None else binary_op
+    return scan_by_key(keys, values, op, equality_op=binary_pred)
+
+
+def exclusive_scan_by_key(keys, values, init=0, binary_op=None,
+                          binary_pred: Callable | None = None, *,
+                          identity=None):
+    """thrust::exclusive_scan_by_key — init seeds every segment. A callable
+    binary_op needs identity= (its neutral element)."""
+    from cuda.radixsort_tpu.ops.scan import scan_by_key
+
+    op = "sum" if binary_op is None else binary_op
+    return scan_by_key(keys, values, op, exclusive=True, init=init,
+                       identity=identity, equality_op=binary_pred)
+
+
+# ---------------------------------------------------------------------------
+# elementwise / transform family — on TPU these exist so thrust call sites
+# port 1:1; XLA fuses them into neighbors (DeviceTransform's rationale)
+# ---------------------------------------------------------------------------
+
+
+def for_each(x, op: Callable):
+    """thrust::for_each — functional: returns op applied elementwise."""
+    return jax.vmap(op)(x)
+
+
+def transform(op: Callable, *xs):
+    """thrust::transform (unary/binary/n-ary)."""
+    return jax.vmap(op)(*xs)
+
+
+def transform_reduce(x, unary_op: Callable, init, binary_op: Callable):
+    """thrust::transform_reduce."""
+    t = jax.vmap(unary_op)(x)
+    total = jax.lax.associative_scan(binary_op, t)[-1]
+    return binary_op(jnp.asarray(init, t.dtype), total)
+
+
+def transform_inclusive_scan(x, unary_op: Callable, binary_op: Callable):
+    """thrust::transform_inclusive_scan."""
+    return jax.lax.associative_scan(binary_op, jax.vmap(unary_op)(x))
+
+
+def transform_exclusive_scan(x, unary_op: Callable, init,
+                             binary_op: Callable):
+    """thrust::transform_exclusive_scan."""
+    t = jax.vmap(unary_op)(x)
+    ini = jnp.asarray(init, t.dtype)
+    inc = jax.lax.associative_scan(binary_op, t)
+    return jnp.concatenate([ini[None], binary_op(ini, inc[:-1])])
+
+
+def tabulate(n: int, op: Callable):
+    """thrust::tabulate — op over [0, n)."""
+    return jax.vmap(op)(jnp.arange(n))
+
+
+def fill(x, value):
+    """thrust::fill."""
+    return jnp.full_like(x, value)
+
+
+def replace(x, old_value, new_value):
+    """thrust::replace."""
+    return jnp.where(x == jnp.asarray(old_value, x.dtype),
+                     jnp.asarray(new_value, x.dtype), x)
+
+
+def replace_if(x, pred: Callable, new_value):
+    """thrust::replace_if."""
+    return jnp.where(pred(x), jnp.asarray(new_value, x.dtype), x)
+
+
+def adjacent_difference(x, binary_op: Callable | None = None):
+    """thrust::adjacent_difference (out[0] = x[0], CUB SubtractLeft)."""
+    op = jnp.subtract if binary_op is None else binary_op
+    return jnp.concatenate([x[:1], op(x[1:], x[:-1])])
+
+
+def inner_product(a, b, init=0):
+    """thrust::inner_product."""
+    return jnp.asarray(init, a.dtype) + jnp.sum(a * b)
+
+
+def reverse(x):
+    """thrust::reverse."""
+    return x[::-1]
+
+
+def swap_ranges(a, b):
+    """thrust::swap_ranges — functional: returns (b, a)."""
+    return b, a
+
+
+# ---------------------------------------------------------------------------
+# predicates / search (thrust reductions over predicates)
+# ---------------------------------------------------------------------------
+
+
+def all_of(x, pred: Callable) -> jnp.ndarray:
+    """thrust::all_of."""
+    return jnp.all(pred(x))
+
+
+def any_of(x, pred: Callable) -> jnp.ndarray:
+    """thrust::any_of."""
+    return jnp.any(pred(x))
+
+
+def none_of(x, pred: Callable) -> jnp.ndarray:
+    """thrust::none_of."""
+    return ~jnp.any(pred(x))
+
+
+def find(x, value) -> jnp.ndarray:
+    """thrust::find — index of first occurrence, len(x) if absent."""
+    return find_if(x, lambda v: v == jnp.asarray(value, x.dtype))
+
+
+def find_if(x, pred: Callable) -> jnp.ndarray:
+    """thrust::find_if — index of first match, len(x) if none."""
+    m = pred(x)
+    return jnp.where(jnp.any(m), jnp.argmax(m), x.shape[0]).astype(jnp.int32)
+
+
+def mismatch(a, b) -> jnp.ndarray:
+    """thrust::mismatch — first index where a and b differ (len if equal)."""
+    m = a != b
+    return jnp.where(jnp.any(m), jnp.argmax(m), a.shape[0]).astype(jnp.int32)
+
+
+def equal(a, b) -> jnp.ndarray:
+    """thrust::equal."""
+    return jnp.all(a == b)

@@ -91,6 +91,19 @@ class Query:
         return self._with("groupby_agg", tuple(keys),
                           tuple((n, v, a) for n, (v, a) in aggs.items()))
 
+    def window(self, partition_by: str, order_by: str, outputs: dict, *,
+               descending: bool = False) -> "Query":
+        """Append window columns over `OVER (PARTITION BY partition_by
+        ORDER BY order_by)`: `outputs` maps out_name -> fn for
+        row_number/rank/dense_rank, or out_name -> (value_column, fn) for
+        cumsum/cummin/cummax/lag/lead. Rows are reordered to (partition,
+        order); the valid prefix is unchanged."""
+        spec = tuple(
+            (n, None, v) if isinstance(v, str) else (n, v[0], v[1])
+            for n, v in outputs.items())
+        return self._with("window", partition_by, order_by, spec,
+                          descending)
+
     def order_by(self, key: str, *, descending: bool = False) -> "Query":
         """Stable sort by one column; invalid tail rows stay in the tail."""
         return self._with("order_by", key, descending)
@@ -122,6 +135,13 @@ class Query:
                 keys, aggs = st.args
                 lines.append(f"groupby_agg keys={list(keys)} aggs="
                              + str({n: (v, a) for n, v, a in aggs}))
+            elif st.op == "window":
+                part, okey, spec, desc = st.args
+                lines.append(
+                    f"window partition_by={part!r} order_by={okey!r}"
+                    + (" desc" if desc else "") + " outputs="
+                    + str({n: (fn if s is None else (s, fn))
+                           for n, s, fn in spec}))
             elif st.op == "order_by":
                 lines.append(f"order_by {st.args[0]!r}"
                              + (" desc" if st.args[1] else ""))
@@ -251,6 +271,25 @@ def _exec_groupby_agg(t: Table, count, st: _Stage, config):
     return Table(out), cnt.astype(jnp.int32)
 
 
+def _exec_window(t: Table, count, st: _Stage, config):
+    from cuda.radixsort_tpu.ops.window import window as window_op
+
+    part, okey, spec, desc = st.args
+    for n_, _, _ in spec:
+        if n_ in t.column_names:
+            raise ValueError(f"window output {n_!r} collides with an "
+                             "existing column")
+    payload = {k: t[k] for k in t.column_names
+               if k not in (part, okey)}
+    sp, so, sv, wcols, cnt = window_op(
+        t[part], t[okey], payload, spec,
+        valid=_valid_mask(t, count), descending=desc, config=config)
+    out = {part: sp, okey: so}
+    out.update(sv)
+    out.update(wcols)
+    return Table(out), cnt.astype(jnp.int32)
+
+
 def _exec_order_by(t: Table, count, st: _Stage, config):
     from cuda.radixsort_tpu.ops.sort import sort_struct
 
@@ -279,6 +318,7 @@ _EXEC = {
     "join": _exec_join,
     "groupby": _exec_groupby,
     "groupby_agg": _exec_groupby_agg,
+    "window": _exec_window,
     "order_by": _exec_order_by,
     "limit": _exec_limit,
 }
@@ -341,6 +381,9 @@ def _run_distributed(q: Query, mesh, axis_name, config):
             elif st.op == "groupby_agg":
                 cols, cnt = _dist_groupby_agg(cols, cnt, st, ndev,
                                               axis_name, config)
+            elif st.op == "window":
+                cols, cnt = _dist_window(cols, cnt, st, ndev, axis_name,
+                                         config)
             elif st.op in ("order_by", "limit"):
                 if not rep:
                     cols, cnt = _dist_gather(cols, cnt, axis_name)
@@ -395,6 +438,39 @@ def _dist_groupby(cols, cnt, st, ndev, axis_name, config):
     out_name = value if value != key else agg
     st2 = _Stage("groupby_agg", ((key,), ((out_name, value, agg),)), {})
     return _dist_groupby_agg(cols, cnt, st2, ndev, axis_name, config)
+
+
+def _dist_window(cols, cnt, st, ndev, axis_name, config):
+    """Hash-exchange whole rows by partition key (every partition lands on
+    exactly one device), then the single-chip window runs per shard —
+    within-partition sequences are bit-identical to the single-chip plan;
+    cross-partition placement follows the hash (like distributed groupby)."""
+    from cuda.radixsort_tpu.ops.window import window as window_op
+    from cuda.radixsort_tpu.parallel.shuffle import (
+        _owner_of_keys,
+        exchange_rows,
+    )
+
+    part, okey, spec, desc = st.args
+    for n_, _, _ in spec:
+        if n_ in cols:
+            raise ValueError(f"window output {n_!r} collides with an "
+                             "existing column")
+    rows = next(iter(cols.values())).shape[0]
+    valid0 = jnp.arange(rows, dtype=jnp.int32) < cnt
+    dest = jnp.where(valid0, _owner_of_keys(cols[part], ndev), ndev)
+    names = list(cols)
+    recv, rvalid = exchange_rows([cols[k] for k in names], dest, ndev,
+                                 axis_name, rows)
+    rcols = dict(zip(names, recv))
+    payload = {k: v for k, v in rcols.items() if k not in (part, okey)}
+    sp, so, sv, wcols, c2 = window_op(
+        rcols[part], rcols[okey], payload, spec, valid=rvalid,
+        descending=desc, config=config)
+    out = {part: sp, okey: so}
+    out.update(sv)
+    out.update(wcols)
+    return out, c2.astype(jnp.int32)
 
 
 def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):

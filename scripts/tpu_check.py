@@ -161,3 +161,39 @@ x7 = rng.integers(0, 2**32, size=1 << 20, dtype=np.uint32)
 mx7 = np.asarray(DeviceTopK.MaxKeys(jnp.asarray(x7), 32))
 print("DeviceTopK correct:", np.array_equal(mx7, np.sort(x7)[::-1][:32]),
       flush=True)
+
+# scan-by-key + window on hardware (session-5 surfaces)
+from cuda.radixsort_tpu.ops.scan import scan_by_key
+k8 = np.sort(rng.integers(0, 500, size=1 << 20)).astype(np.uint32)
+v8 = rng.integers(-9, 9, size=1 << 20).astype(np.int32)
+s8 = np.asarray(scan_by_key(jnp.asarray(k8), jnp.asarray(v8)))
+starts8 = np.concatenate([[True], k8[1:] != k8[:-1]])
+seg8 = np.cumsum(starts8) - 1
+want8 = np.concatenate([np.cumsum(v8[seg8 == i])
+                        for i in range(seg8[-1] + 1)])
+print("scan_by_key on hardware correct:", np.array_equal(s8, want8),
+      flush=True)
+
+p9 = rng.integers(0, 64, size=1 << 18).astype(np.uint32)
+o9 = rng.integers(0, 1000, size=1 << 18).astype(np.uint32)
+v9 = rng.integers(0, 9, size=1 << 18).astype(np.int32)
+t9 = rs.table(p=jnp.asarray(p9), o=jnp.asarray(o9), v=jnp.asarray(v9))
+t9w = t9.window("p", "o", {"rn": "row_number", "cs": ("v", "cumsum")})
+p9s, rn9 = np.asarray(t9w["p"]), np.asarray(t9w["rn"])
+ends9 = np.concatenate([p9s[1:] != p9s[:-1], [True]])
+sizes9 = rn9[ends9]
+want_sizes9 = np.bincount(p9, minlength=64)
+print("window row_number on hardware correct:",
+      np.array_equal(np.sort(sizes9), np.sort(want_sizes9[want_sizes9 > 0])),
+      flush=True)
+
+# mean aggregate on hardware
+from cuda.radixsort_tpu.ops.aggregate import groupby as _gb
+mk = rng.integers(0, 33, size=1 << 18).astype(np.uint32)
+mv = rng.integers(0, 1000, size=1 << 18).astype(np.int32)
+gmk, gmv, gmc = _gb(jnp.asarray(mk), jnp.asarray(mv), agg="mean")
+umk = np.unique(mk)
+wantm = np.array([mv[mk == u].mean() for u in umk], np.float32)
+print("groupby mean on hardware correct:",
+      int(gmc) == umk.shape[0] and
+      np.allclose(np.asarray(gmv)[: int(gmc)], wantm, rtol=1e-6), flush=True)

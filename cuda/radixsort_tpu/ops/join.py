@@ -80,8 +80,15 @@ def join(
     build_valid / probe_valid: optional bool masks; False rows take part in
     neither side (they ride the sort as side==2 and never match or emit) —
     the hook the distributed hash-exchange join uses for its padding rows.
+
+    how="right" emits inner matches PLUS build rows whose key matched no
+    probe row; how="full" emits the left join PLUS those unmatched build
+    rows. Both return (keys, vals, probe_idx, count, matched): build-only
+    rows carry probe_idx == -1, their own build value in vals, and
+    matched == False (with duplicate build keys every unmatched duplicate
+    emits — multiset outer-join semantics).
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "right", "full"):
         raise ValueError(how)
     cfg = config_lib.resolve(config)
     nb, np_ = build_keys.shape[0], probe_keys.shape[0]
@@ -144,6 +151,32 @@ def join(
                            else jnp.logical_not(matched))
         (ok, oi), count = _filter_columns(keep, (skeys, sorig), config=fcfg)
         return ok, oi, count
+    if how in ("right", "full"):
+        # a build row is unmatched iff its key group holds no probe row:
+        # group = [grp_start, next_start); probe-free iff group size equals
+        # the group's build count. next_start via one backward cummin.
+        starts_pos = jnp.where(is_start, pos, ntot)
+        m = jax.lax.cummin(starts_pos[::-1])[::-1]       # min start >= i
+        next_start = jnp.concatenate(
+            [m[1:], jnp.full((1,), ntot, m.dtype)])
+        cp_incl = jnp.cumsum(is_probe.astype(jnp.int32))
+        cp_excl = cp_incl - is_probe.astype(jnp.int32)
+        cp_at_start = _fill_from_marks(is_start, cp_excl)
+        cp_end = jnp.take(cp_incl,
+                          jnp.clip(next_start - 1, 0, ntot - 1), axis=0)
+        has_probe = (cp_end - cp_at_start) > 0
+        build_only = is_build & jnp.logical_not(has_probe)
+        if how == "right":
+            keep = (is_probe & matched) | build_only
+        else:
+            keep = is_probe | build_only
+        out_v = jnp.where(is_probe, cv, svals)
+        out_i = jnp.where(is_probe, sorig, -1)
+        out_m = is_probe & matched
+        (ok, ov, oi, om), count = _filter_columns(
+            keep, (skeys, out_v, out_i, out_m), config=fcfg
+        )
+        return ok, ov, oi, count, om
     # left join: all probe rows, plus matched mask
     (ok, ov, oi, om), count = _filter_columns(
         is_probe, (skeys, cv, sorig, matched), config=fcfg

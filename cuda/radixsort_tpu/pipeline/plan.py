@@ -72,10 +72,12 @@ class Query:
         """Join against `build[on]`. how: "inner" (brings `build[value]`
         across), "left" (all rows + a bool `matched` column), "semi"/"anti"
         (existence filters — probe rows with/without a match; no value).
-        `build_count` marks a compacted build side's valid prefix."""
-        if how not in ("inner", "left", "semi", "anti"):
+        `build_count` marks a compacted build side's valid prefix.
+        how="right"/"full" additionally emit unmatched build rows (their
+        probe columns zero-filled, probe_idx -1 semantics, matched False)."""
+        if how not in ("inner", "left", "semi", "anti", "right", "full"):
             raise ValueError(how)
-        if how in ("inner", "left") and value is None:
+        if how in ("inner", "left", "right", "full") and value is None:
             raise ValueError(f"how={how!r} needs value=")
         return self._with("join", build, on, value, build_count, how)
 
@@ -220,11 +222,11 @@ def _join_impl(cols: dict, count, st: _Stage, build_cols: dict, config):
                               build_valid=bvalid, probe_valid=pvalid,
                               config=config)
         out = {on: ok}
-    elif how == "left":
+    elif how in ("left", "right", "full"):
         if "matched" in cols:
-            raise ValueError("left join adds a 'matched' column; rename "
+            raise ValueError(f"{how} join adds a 'matched' column; rename "
                              "the probe's existing 'matched' column first")
-        ok, ov, oi, cnt, om = join_op(bk, bv, cols[on], how="left",
+        ok, ov, oi, cnt, om = join_op(bk, bv, cols[on], how=how,
                                       build_valid=bvalid,
                                       probe_valid=pvalid, config=config)
         out = {on: ok, value: ov, "matched": om}
@@ -233,9 +235,13 @@ def _join_impl(cols: dict, count, st: _Stage, build_cols: dict, config):
                                   build_valid=bvalid, probe_valid=pvalid,
                                   config=config)
         out = {on: ok, value: ov}
+    fill_build = how in ("right", "full")
     for name, col in cols.items():
         if name not in out:
-            out[name] = jnp.take(col, oi, axis=0)
+            g = jnp.take(col, jnp.maximum(oi, 0), axis=0)
+            # build-only rows (oi == -1) have no probe columns: zero-fill
+            out[name] = (jnp.where(oi >= 0, g, jnp.zeros((), col.dtype))
+                         if fill_build else g)
     return out, cnt.astype(jnp.int32)
 
 
@@ -365,9 +371,16 @@ def _run_distributed(q: Query, mesh, axis_name, config):
                 # build tables ride as explicit replicated args (no closure
                 # capture inside shard_map); replicated-mode joins use the
                 # same local join — replicated probe x replicated build IS
-                # the global join
-                cols, cnt = _dist_join(cols, cnt, st, next(rep_iter),
-                                       config)
+                # the global join. Outer joins (right/full) must emit each
+                # unmatched build row exactly ONCE, so they hash-localize
+                # both sides instead of broadcasting the build.
+                if st.args[4] in ("right", "full") and not rep:
+                    cols, cnt = _dist_join_outer(cols, cnt, st,
+                                                 next(rep_iter), ndev,
+                                                 axis_name, config)
+                else:
+                    cols, cnt = _dist_join(cols, cnt, st, next(rep_iter),
+                                           config)
             elif rep or st.op in ("select", "with_column"):
                 # replicated (or validity-preserving projection): reuse the
                 # single-chip stage on the local view
@@ -438,6 +451,48 @@ def _dist_groupby(cols, cnt, st, ndev, axis_name, config):
     out_name = value if value != key else agg
     st2 = _Stage("groupby_agg", ((key,), ((out_name, value, agg),)), {})
     return _dist_groupby_agg(cols, cnt, st2, ndev, axis_name, config)
+
+
+def _dist_join_outer(cols, cnt, st, build, ndev, axis_name, config):
+    """right/full outer join over the mesh: hash-exchange probe rows AND
+    deal each (replicated) build row to its hash owner, so every key lives
+    on exactly one device — the local outer join is then globally correct
+    and each unmatched build row emits exactly once."""
+    import jax
+
+    from cuda.radixsort_tpu.parallel.shuffle import (
+        _owner_of_keys,
+        exchange_rows,
+    )
+
+    _, on, value, build_count, how = st.args
+    rows = next(iter(cols.values())).shape[0]
+    d = jax.lax.axis_index(axis_name).astype(jnp.int32)
+
+    # probe side: route whole rows to their key's hash owner
+    valid0 = jnp.arange(rows, dtype=jnp.int32) < cnt
+    dest = jnp.where(valid0, _owner_of_keys(cols[on], ndev), ndev)
+    names = list(cols)
+    recv, rvalid = exchange_rows([cols[k] for k in names], dest, ndev,
+                                 axis_name, rows)
+    # compact received rows to a valid prefix (the local join's protocol)
+    order = jnp.argsort(jnp.logical_not(rvalid), stable=True)
+    rcols = {k: jnp.take(v, order, axis=0) for k, v in zip(names, recv)}
+    rcnt = jnp.sum(rvalid.astype(jnp.int32))
+
+    # build side is replicated: keep only MY hash-owned rows, compacted
+    bk = build[on]
+    nb = bk.shape[0]
+    mine = _owner_of_keys(bk, ndev) == d
+    if build_count is not None:
+        mine = mine & (jnp.arange(nb, dtype=jnp.int32)
+                       < jnp.asarray(build_count, jnp.int32))
+    border = jnp.argsort(jnp.logical_not(mine), stable=True)
+    blocal = {k: jnp.take(v, border, axis=0) for k, v in build.items()}
+    bcnt = jnp.sum(mine.astype(jnp.int32))
+
+    st2 = _Stage("join", (None, on, value, bcnt, how), {})
+    return _join_impl(rcols, rcnt, st2, blocal, config)
 
 
 def _dist_window(cols, cnt, st, ndev, axis_name, config):

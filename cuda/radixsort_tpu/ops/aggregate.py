@@ -24,11 +24,21 @@ from cuda.radixsort_tpu import config as config_lib
 from cuda.radixsort_tpu.ops.filter import filter_columns as _filter_columns
 from cuda.radixsort_tpu.ops.sort import sort_pairs as _sort_pairs
 
-_AGGS = ("sum", "count", "min", "max", "mean")
+_AGGS = ("sum", "count", "min", "max", "mean", "var", "std")
 
 
 def _mean_dtype(dtype):
     return dtype if jnp.issubdtype(dtype, jnp.floating) else jnp.float32
+
+
+def _moments_to_var(sums, sumsqs, cnts, agg, dtype):
+    """Population variance/std (ddof=0) from the decomposed moments —
+    var = E[x^2] - E[x]^2, computed in the mean dtype (f32 for ints; large
+    magnitudes lose precision like any single-pass moments method)."""
+    md = _mean_dtype(dtype)
+    m = sums.astype(md) / cnts.astype(md)
+    v = jnp.maximum(sumsqs.astype(md) / cnts.astype(md) - m * m, 0)
+    return jnp.sqrt(v) if agg == "std" else v
 
 
 def _segmented_total_at_start(values, is_start, agg):
@@ -104,12 +114,17 @@ def groupby(
         is_start = is_start | jnp.concatenate(
             [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]]
         )
-    if agg == "mean":
+    if agg in ("mean", "var", "std"):
+        md = _mean_dtype(svals.dtype)
         sums = _segmented_total_at_start(svals, is_start, "sum")
         cnts = _segmented_total_at_start(
             jnp.ones((n,), jnp.int32), is_start, "sum")
-        totals = (sums.astype(_mean_dtype(svals.dtype))
-                  / cnts.astype(_mean_dtype(svals.dtype)))
+        if agg == "mean":
+            totals = sums.astype(md) / cnts.astype(md)
+        else:
+            sq = svals.astype(md) * svals.astype(md)
+            sumsqs = _segmented_total_at_start(sq, is_start, "sum")
+            totals = _moments_to_var(sums, sumsqs, cnts, agg, svals.dtype)
     else:
         totals = _segmented_total_at_start(svals, is_start, agg)
     keep = is_start if valid_sorted is None else (is_start & valid_sorted)
@@ -180,13 +195,17 @@ def groupby_multi(
             [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]])
     seg_counts = (_segmented_total_at_start(
         jnp.ones((n,), jnp.int32), is_start, "sum")
-        if "mean" in agg_ops else None)
+        if any(a in ("mean", "var", "std") for a in agg_ops) else None)
 
     def _total(sv, a):
-        if a == "mean":
-            s = _segmented_total_at_start(sv, is_start, "sum")
+        if a in ("mean", "var", "std"):
             md = _mean_dtype(sv.dtype)
-            return s.astype(md) / seg_counts.astype(md)
+            s = _segmented_total_at_start(sv, is_start, "sum")
+            if a == "mean":
+                return s.astype(md) / seg_counts.astype(md)
+            sq = sv.astype(md) * sv.astype(md)
+            ssq = _segmented_total_at_start(sq, is_start, "sum")
+            return _moments_to_var(s, ssq, seg_counts, a, sv.dtype)
         return _segmented_total_at_start(sv, is_start,
                                          "sum" if a == "count" else a)
 

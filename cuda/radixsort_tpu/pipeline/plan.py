@@ -532,28 +532,42 @@ def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):
     """Two-phase multi-key multi-agg: local partials, hash-of-key-tuple
     exchange, final re-aggregation. Non-decomposable aggregates travel as
     their decomposition: count partials re-reduce as sums, mean travels as
-    a (sum, count) pair divided after the final phase."""
-    from cuda.radixsort_tpu.ops.aggregate import _mean_dtype, groupby_multi
+    a (sum, count) pair, var/std as (sum, sum-of-squares, count) moments —
+    each assembled after the final phase."""
+    from cuda.radixsort_tpu.ops.aggregate import (
+        _mean_dtype,
+        _moments_to_var,
+        groupby_multi,
+    )
     from cuda.radixsort_tpu.ops.partition import hash32
     from cuda.radixsort_tpu.parallel.shuffle import exchange_rows
 
     keys, aggs = st.args
-    # expand: one partial column per decomposed aggregate
-    part_vals, part_aggs, assemble = [], [], []
+    # expand: one partial column per decomposed aggregate (arrays, so the
+    # var/std decomposition can push a squared column through phase 1)
+    part_arrays, part_aggs, assemble = [], [], []
     for n_, v, a in aggs:
+        col = cols[v]
         if a == "mean":
-            assemble.append((n_, "mean", len(part_vals), len(part_vals) + 1,
-                             cols[v].dtype))
-            part_vals += [v, v]
+            assemble.append((n_, a, (len(part_arrays),
+                                     len(part_arrays) + 1), col.dtype))
+            part_arrays += [col, col]
             part_aggs += ["sum", "count"]
+        elif a in ("var", "std"):
+            md = _mean_dtype(col.dtype)
+            assemble.append((n_, a, (len(part_arrays),
+                                     len(part_arrays) + 1,
+                                     len(part_arrays) + 2), col.dtype))
+            part_arrays += [col, col.astype(md) * col.astype(md), col]
+            part_aggs += ["sum", "sum", "count"]
         else:
-            assemble.append((n_, a, len(part_vals), None, None))
-            part_vals.append(v)
+            assemble.append((n_, a, (len(part_arrays),), None))
+            part_arrays.append(col)
             part_aggs.append(a)
     rows = next(iter(cols.values())).shape[0]
     kc, vc, c1 = groupby_multi(
         tuple(cols[k] for k in keys),
-        tuple(cols[v] for v in part_vals),
+        tuple(part_arrays),
         tuple(part_aggs),
         valid=jnp.arange(rows, dtype=jnp.int32) < cnt, config=config)
     h = hash32(kc[0])
@@ -568,12 +582,15 @@ def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):
     k2, v2, c2 = groupby_multi(tuple(recv[:nk]), tuple(recv[nk:]),
                                re_aggs, valid=rvalid, config=config)
     out = dict(zip(keys, k2))
-    for n_, a, i, j, vdtype in assemble:
+    for n_, a, idx, vdtype in assemble:
         if a == "mean":
             md = _mean_dtype(vdtype)
-            out[n_] = v2[i].astype(md) / v2[j].astype(md)
+            out[n_] = v2[idx[0]].astype(md) / v2[idx[1]].astype(md)
+        elif a in ("var", "std"):
+            out[n_] = _moments_to_var(v2[idx[0]], v2[idx[1]], v2[idx[2]],
+                                      a, vdtype)
         else:
-            out[n_] = v2[i]
+            out[n_] = v2[idx[0]]
     return out, c2.astype(jnp.int32)
 
 

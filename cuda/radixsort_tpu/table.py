@@ -163,7 +163,7 @@ class Table:
                     config: config_lib.SortConfig | None = None):
         """Multi-key, multi-aggregate group-by. `keys`: grouping columns
         (lexicographic); `aggs`: out_name -> (value_column, agg) with agg in
-        sum/count/min/max/mean. Returns (table[keys..., out_names...], count)."""
+        sum/count/min/max/mean/var/std. Returns (table[keys..., out_names...], count)."""
         from cuda.radixsort_tpu.ops.aggregate import groupby_multi
 
         keys = list(keys)

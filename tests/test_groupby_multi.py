@@ -251,3 +251,66 @@ def test_query_groupby_single_mean_distributed(mesh, rng):
             np.testing.assert_allclose(m, want[int(kk)], rtol=1e-6)
             seen += 1
     assert seen == uk.shape[0]
+
+
+def test_groupby_var_std_single(rng):
+    from cuda.radixsort_tpu.ops.aggregate import groupby
+    n = 3000
+    k = rng.integers(0, 15, size=n).astype(np.uint32)
+    v = rng.integers(-30, 30, size=n).astype(np.int32)
+    for agg in ("var", "std"):
+        gk, gv, cnt = groupby(jnp.asarray(k), jnp.asarray(v), agg=agg)
+        cnt = int(cnt)
+        uk = np.unique(k)
+        assert cnt == uk.shape[0]
+        want = np.array([v[k == u].astype(np.float64).var() for u in uk])
+        if agg == "std":
+            want = np.sqrt(want)
+        np.testing.assert_allclose(np.asarray(gv)[:cnt], want,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_groupby_multi_var_mixed(rng):
+    n = 2000
+    a = rng.integers(0, 8, size=n).astype(np.uint32)
+    v = rng.integers(0, 50, size=n).astype(np.int32)
+    kc, vc, cnt = groupby_multi(
+        (jnp.asarray(a),),
+        (jnp.asarray(v), jnp.asarray(v), jnp.asarray(v)),
+        ("var", "mean", "std"))
+    cnt = int(cnt)
+    uk = np.unique(a)
+    wv = np.array([v[a == u].astype(np.float64).var() for u in uk])
+    wm = np.array([v[a == u].mean() for u in uk])
+    np.testing.assert_allclose(np.asarray(vc[0])[:cnt], wv, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(vc[1])[:cnt], wm, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(vc[2])[:cnt], np.sqrt(wv),
+                               rtol=1e-4)
+
+
+def test_query_groupby_var_distributed(mesh, rng):
+    n = 8 * 400 + 1
+    k = rng.integers(0, 19, size=n, dtype=np.uint32)
+    v = rng.integers(0, 100, size=n).astype(np.int32)
+    t = table(k=jnp.asarray(k), v=jnp.asarray(v))
+
+    def plan(t):
+        return Query(t).groupby_agg(["k"], {"vr": ("v", "var"),
+                                            "sd": ("v", "std")})
+
+    do, dcounts, _ = plan(t).run(mesh=mesh)
+    dcounts = np.asarray(dcounts)
+    rows = np.asarray(do["k"]).shape[0] // dcounts.shape[0]
+    uk = np.unique(k)
+    want = {int(u): v[k == u].astype(np.float64).var() for u in uk}
+    seen = 0
+    kk, vr, sd = (np.asarray(do["k"]), np.asarray(do["vr"]),
+                  np.asarray(do["sd"]))
+    for d in range(dcounts.shape[0]):
+        for i in range(d * rows, d * rows + dcounts[d]):
+            np.testing.assert_allclose(vr[i], want[int(kk[i])],
+                                       rtol=1e-3, atol=1e-3)
+            np.testing.assert_allclose(sd[i], np.sqrt(want[int(kk[i])]),
+                                       rtol=1e-3, atol=1e-3)
+            seen += 1
+    assert seen == uk.shape[0]

@@ -86,7 +86,16 @@ def groupby(
     tables carry real-but-dropped rows in the tail — no sentinel keys):
     invalid rows sort into their own trailing segments via a validity limb
     and are dropped by the final compaction.
+
+    agg="median" routes to `groupby_quantile` (q=0.5, interpolated) — the
+    value column joins the sort key there.
     """
+    if agg == "median":
+        if values is None:
+            raise ValueError("median needs a value column")
+        gk, (gv,), count = groupby_quantile(keys, values, (0.5,),
+                                            valid=valid, config=config)
+        return gk, gv, count
     if agg not in _AGGS:
         raise ValueError(agg)
     cfg = config_lib.resolve(config)
@@ -214,3 +223,69 @@ def groupby_multi(
     cols, count = _filter_columns(keep, skeys + totals, config=cfg)
     nk = len(skeys)
     return cols[:nk], cols[nk:], count
+
+
+@functools.partial(jax.jit, static_argnames=("qs", "config"))
+def groupby_quantile(
+    keys: jnp.ndarray,
+    values: jnp.ndarray,
+    qs: tuple = (0.5,),
+    *,
+    valid: jnp.ndarray | None = None,
+    config: config_lib.SortConfig | None = None,
+):
+    """Per-group quantiles (linear interpolation, numpy's default) — the
+    non-decomposable aggregate class: medians/percentiles need the group's
+    sorted values, so the value column joins the SORT KEY ((validity, key,
+    value) struct sort) and each quantile is two gathers + a lerp against
+    the group's start position and size. All requested qs share the one
+    sort.
+
+    Returns (group_keys, quantile_columns: tuple aligned with qs, count);
+    quantile columns are in the mean dtype (f32 for integer values).
+    Distributed form: plan.py hash-exchanges whole rows (quantiles cannot
+    travel as partials the way sum/mean moments do).
+    """
+    from cuda.radixsort_tpu.ops.sort import sort_struct as _sort_struct
+
+    cfg = config_lib.resolve(config)
+    n = keys.shape[0]
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    if n == 0:
+        md = _mean_dtype(values.dtype)
+        return keys, tuple(jnp.zeros((0,), md) for _ in qs), jnp.zeros(
+            (), jnp.int32)
+    if valid is None:
+        (skeys, svals) = _sort_struct((keys, values), config=cfg)
+        valid_sorted = None
+    else:
+        flag = jnp.logical_not(valid).astype(jnp.uint8)
+        (sflag, skeys, svals) = _sort_struct((flag, keys, values),
+                                             config=cfg)
+        valid_sorted = sflag == 0
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
+    if valid_sorted is not None:
+        is_start = is_start | jnp.concatenate(
+            [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(is_start, pos, -1))
+    cnts = _segmented_total_at_start(jnp.ones((n,), jnp.int32), is_start,
+                                     "sum")
+    md = _mean_dtype(values.dtype)
+    sv = svals.astype(md)
+    qcols = []
+    for q in qs:
+        idx_f = (cnts - 1).astype(md) * jnp.asarray(q, md)
+        lo = jnp.clip(jnp.floor(idx_f).astype(jnp.int32), 0, n - 1)
+        hi = jnp.clip(jnp.ceil(idx_f).astype(jnp.int32), 0, n - 1)
+        frac = idx_f - lo.astype(md)
+        vlo = jnp.take(sv, jnp.clip(start + lo, 0, n - 1), axis=0)
+        vhi = jnp.take(sv, jnp.clip(start + hi, 0, n - 1), axis=0)
+        qcols.append(vlo * (1 - frac) + vhi * frac)
+    keep = is_start if valid_sorted is None else (is_start & valid_sorted)
+    cols, count = _filter_columns(keep, (skeys,) + tuple(qcols),
+                                  config=cfg)
+    return cols[0], cols[1:], count

@@ -82,7 +82,8 @@ class Query:
         return self._with("join", build, on, value, build_count, how)
 
     def groupby(self, key: str, value: str, *, agg: str = "sum") -> "Query":
-        """Group by `key`, reduce `value`. Output columns: key, value —
+        """Group by `key`, reduce `value` (agg: sum/count/min/max/mean/
+        var/std/median). Output columns: key, value —
         or key, `agg` when value names the key column itself (e.g.
         groupby("x", "x", agg="count") yields columns x, count)."""
         return self._with("groupby", key, value, agg)
@@ -446,8 +447,27 @@ def _dist_join(cols, cnt, st, build, config):
 
 def _dist_groupby(cols, cnt, st, ndev, axis_name, config):
     """Single-key single-agg distributed groupby = the multi form with one
-    key and one aggregate (same output naming as the single-chip stage)."""
+    key and one aggregate (same output naming as the single-chip stage).
+    Non-decomposable aggregates (median) cannot travel as partials: they
+    hash-exchange the raw rows instead so each group's full value set lands
+    on one device."""
     key, value, agg = st.args
+    if agg == "median":
+        from cuda.radixsort_tpu.ops.aggregate import groupby as groupby_op
+        from cuda.radixsort_tpu.parallel.shuffle import (
+            _owner_of_keys,
+            exchange_rows,
+        )
+
+        rows = next(iter(cols.values())).shape[0]
+        valid0 = jnp.arange(rows, dtype=jnp.int32) < cnt
+        dest = jnp.where(valid0, _owner_of_keys(cols[key], ndev), ndev)
+        (rk, rv), rvalid = exchange_rows([cols[key], cols[value]], dest,
+                                         ndev, axis_name, rows)
+        gk, gv, c2 = groupby_op(rk, rv, agg="median", valid=rvalid,
+                                config=config)
+        out_name = value if value != key else agg
+        return {key: gk, out_name: gv}, c2.astype(jnp.int32)
     out_name = value if value != key else agg
     st2 = _Stage("groupby_agg", ((key,), ((out_name, value, agg),)), {})
     return _dist_groupby_agg(cols, cnt, st2, ndev, axis_name, config)

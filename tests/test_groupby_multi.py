@@ -314,3 +314,59 @@ def test_query_groupby_var_distributed(mesh, rng):
                                        rtol=1e-3, atol=1e-3)
             seen += 1
     assert seen == uk.shape[0]
+
+
+def test_groupby_quantile_and_median(rng):
+    from cuda.radixsort_tpu.ops.aggregate import groupby, groupby_quantile
+    n = 3000
+    k = rng.integers(0, 12, size=n).astype(np.uint32)
+    v = rng.integers(0, 1000, size=n).astype(np.int32)
+    gk, qcols, cnt = groupby_quantile(jnp.asarray(k), jnp.asarray(v),
+                                      (0.0, 0.25, 0.5, 1.0))
+    cnt = int(cnt)
+    uk = np.unique(k)
+    assert cnt == uk.shape[0]
+    np.testing.assert_array_equal(np.asarray(gk)[:cnt], uk)
+    for qi, q in enumerate((0.0, 0.25, 0.5, 1.0)):
+        want = np.array([np.quantile(v[k == u], q) for u in uk])
+        np.testing.assert_allclose(np.asarray(qcols[qi])[:cnt], want,
+                                   rtol=1e-5, atol=1e-3)
+    mk, mv, mc = groupby(jnp.asarray(k), jnp.asarray(v), agg="median")
+    np.testing.assert_allclose(
+        np.asarray(mv)[: int(mc)],
+        np.array([np.median(v[k == u]) for u in uk]), rtol=1e-6)
+
+
+def test_groupby_median_valid_mask(rng):
+    from cuda.radixsort_tpu.ops.aggregate import groupby
+    n = 1200
+    k = rng.integers(0, 6, size=n).astype(np.uint32)
+    v = rng.integers(0, 500, size=n).astype(np.int32)
+    mask = rng.random(n) < 0.5
+    gk, gv, cnt = groupby(jnp.asarray(k), jnp.asarray(v), agg="median",
+                          valid=jnp.asarray(mask))
+    cnt = int(cnt)
+    uk = np.unique(k[mask])
+    assert cnt == uk.shape[0]
+    want = np.array([np.median(v[mask & (k == u)]) for u in uk])
+    np.testing.assert_allclose(np.asarray(gv)[:cnt], want, rtol=1e-6)
+
+
+def test_query_groupby_median_distributed(mesh, rng):
+    n = 8 * 350 + 3
+    k = rng.integers(0, 14, size=n, dtype=np.uint32)
+    v = rng.integers(0, 1000, size=n).astype(np.int32)
+    t = table(k=jnp.asarray(k), v=jnp.asarray(v))
+    out, counts, _ = (Query(t).groupby("k", "v", agg="median")
+                      .run(mesh=mesh))
+    counts = np.asarray(counts)
+    rows = np.asarray(out["k"]).shape[0] // counts.shape[0]
+    uk = np.unique(k)
+    want = {int(u): np.median(v[k == u]) for u in uk}
+    kk, vv = np.asarray(out["k"]), np.asarray(out["v"])
+    seen = 0
+    for d in range(counts.shape[0]):
+        for i in range(d * rows, d * rows + counts[d]):
+            np.testing.assert_allclose(vv[i], want[int(kk[i])], rtol=1e-6)
+            seen += 1
+    assert seen == uk.shape[0]

@@ -231,6 +231,77 @@ def main():
         report("dist_join_hash_sized", npr_, 1e-9,
                {"ndev": ndev, "caps": list(caps), "stats": describe(jst)})
 
+    # 7. session-5 operator surfaces: scan-by-key, window, outer join,
+    #    group quantiles — chained-differential timings on the chip.
+    if wanted("scan_by_key"):
+        from cuda.radixsort_tpu.ops.scan import scan_by_key
+
+        n = 1 << (20 if SMALL else 24)
+        sk_keys = (jax.random.bits(key, (n,), jnp.uint32)
+                   % jnp.uint32(1 << 12))
+        try:
+            def sbk_step(k_):
+                v = (k_ % jnp.uint32(97)).astype(jnp.int32)
+                return rot32(k_ ^ scan_by_key(k_, v).astype(jnp.uint32))
+            t = timed_chain(sbk_step, sk_keys, k=4)
+            report("scan_by_key_16M", n, t)
+        except Exception as e:
+            print(json.dumps({"config": "scan_by_key_16M",
+                              "error": str(e)[:120]}))
+
+    if wanted("window"):
+        from cuda.radixsort_tpu.ops.window import window as window_op
+
+        n = 1 << (18 if SMALL else 22)
+        wkeys = jax.random.bits(key, (n,), jnp.uint32)
+        try:
+            def w_step(k_):
+                p = k_ % jnp.uint32(1 << 10)
+                o = k_ % jnp.uint32(1 << 20)
+                v = (k_ % jnp.uint32(99)).astype(jnp.int32)
+                sp, so, sv, wc, cnt = window_op(
+                    p, o, {"v": v},
+                    (("rn", None, "row_number"), ("cs", "v", "cumsum")))
+                return rot32(k_ ^ wc["rn"].astype(jnp.uint32))
+            t = timed_chain(w_step, wkeys, k=4)
+            report("window_rn_cumsum_4M", n, t)
+        except Exception as e:
+            print(json.dumps({"config": "window_rn_cumsum_4M",
+                              "error": str(e)[:120]}))
+
+    if wanted("outer_join"):
+        n = 1 << (18 if SMALL else 22)
+        nb2 = 1 << (14 if SMALL else 20)
+        pk2 = jax.random.bits(key, (n,), jnp.uint32) % jnp.uint32(2 * nb2)
+        try:
+            def oj_step(p):
+                b = jnp.arange(nb2, dtype=jnp.uint32)
+                ok_, ov_, oi_, cnt_, om_ = rs_join(
+                    b, b.astype(jnp.int32), p % jnp.uint32(2 * nb2),
+                    how="full")
+                return rot32(p ^ cnt_.astype(jnp.uint32))
+            t = timed_chain(oj_step, pk2, k=4)
+            report("full_outer_join_4Mx1M", n, t)
+        except Exception as e:
+            print(json.dumps({"config": "full_outer_join_4Mx1M",
+                              "error": str(e)[:120]}))
+
+    if wanted("quantile"):
+        from cuda.radixsort_tpu.ops.aggregate import groupby_quantile
+
+        n = 1 << (18 if SMALL else 22)
+        qk2 = jax.random.bits(key, (n,), jnp.uint32) % jnp.uint32(1 << 12)
+        try:
+            def quant_step(k_):
+                v = (k_ * jnp.uint32(2654435761)).astype(jnp.int32)
+                gk_, qs_, cnt_ = groupby_quantile(k_, v, (0.25, 0.5, 0.9))
+                return rot32(k_ ^ cnt_.astype(jnp.uint32))
+            t = timed_chain(quant_step, qk2, k=4)
+            report("groupby_quantile_4M", n, t)
+        except Exception as e:
+            print(json.dumps({"config": "groupby_quantile_4M",
+                              "error": str(e)[:120]}))
+
 
 if __name__ == "__main__":
     main()

@@ -215,6 +215,19 @@ class DeviceSelect:
         return _rewrap(out, d_in, wrapped), count
 
     @staticmethod
+    def FlaggedIf(d_in, d_flags, select_op, num_items: int | None = None,
+                  stream: Any = None, *, config=None):
+        """Keep items whose FLAG satisfies select_op (device_select.cuh
+        FlaggedIf — the predicate applies to the flag, not the item)."""
+        x, wrapped = _unwrap(d_in)
+        _check_items(x, num_items)
+        from cuda.radixsort_tpu.ops.filter import filter_columns
+
+        (out,), count = filter_columns(select_op(d_flags).astype(bool),
+                                       (x,), config=config)
+        return _rewrap(out, d_in, wrapped), count
+
+    @staticmethod
     def Unique(d_in, num_items: int | None = None, stream: Any = None, *,
                config=None):
         from cuda.radixsort_tpu.ops.unique import unique
@@ -342,6 +355,64 @@ class DeviceHistogram:
         x, _ = _unwrap(d_samples)
         _check_items(x, num_samples)
         return histogram_range(x, d_levels[:num_levels])
+
+    @staticmethod
+    def MultiHistogramEven(d_samples, num_levels, lower_level, upper_level,
+                           num_pixels: int | None = None,
+                           stream: Any = None, *,
+                           num_channels: int | None = None,
+                           num_active_channels: int | None = None):
+        """Interleaved multi-channel histograms (e.g. RGBA pixels):
+        d_samples is (pixels, channels) or flat channel-interleaved; one
+        histogram per active channel, each with its own levels. Channel
+        de-interleave is a reshape — the per-channel histograms then run
+        on the one-hot MXU bincount like the single-channel op."""
+        import jax.numpy as jnp
+
+        from cuda.radixsort_tpu.ops.histogram import histogram_even
+
+        x, _ = _unwrap(d_samples)
+        if x.ndim == 1:
+            if num_channels is None:
+                raise ValueError("flat samples need num_channels=")
+            x = x.reshape(-1, num_channels)
+        nch = x.shape[1]
+        nact = nch if num_active_channels is None else num_active_channels
+        _check_items(x, num_pixels)
+
+        def per(i, spec):
+            return spec[i] if isinstance(spec, (list, tuple)) else spec
+
+        return tuple(
+            histogram_even(x[:, c], per(c, num_levels) - 1,
+                           per(c, lower_level), per(c, upper_level))
+            for c in range(nact))
+
+    @staticmethod
+    def MultiHistogramRange(d_samples, num_levels, d_levels,
+                            num_pixels: int | None = None,
+                            stream: Any = None, *,
+                            num_channels: int | None = None,
+                            num_active_channels: int | None = None):
+        """Range-binned sibling of MultiHistogramEven: d_levels is one
+        levels array per active channel."""
+        from cuda.radixsort_tpu.ops.histogram import histogram_range
+
+        x, _ = _unwrap(d_samples)
+        if x.ndim == 1:
+            if num_channels is None:
+                raise ValueError("flat samples need num_channels=")
+            x = x.reshape(-1, num_channels)
+        nch = x.shape[1]
+        nact = nch if num_active_channels is None else num_active_channels
+        _check_items(x, num_pixels)
+
+        def per(i, spec):
+            return spec[i] if isinstance(spec, (list, tuple)) else spec
+
+        return tuple(
+            histogram_range(x[:, c], per(c, d_levels)[: per(c, num_levels)])
+            for c in range(nact))
 
 
 class DeviceMerge:

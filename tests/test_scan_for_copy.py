@@ -324,3 +324,45 @@ def test_scan_by_key_edge_sizes():
         np.asarray(scan_by_key(one, one)), [5])
     np.testing.assert_array_equal(
         np.asarray(scan_by_key(one, one, exclusive=True)), [0])
+
+
+def test_multi_histogram_even(rng):
+    n = 5000
+    px = rng.integers(0, 256, size=(n, 4)).astype(np.int32)
+    hists = cub.DeviceHistogram.MultiHistogramEven(
+        jnp.asarray(px), 17, 0, 256, num_active_channels=3)
+    assert len(hists) == 3
+    for c in range(3):
+        want, _ = np.histogram(px[:, c], bins=16, range=(0, 256))
+        np.testing.assert_array_equal(np.asarray(hists[c]), want)
+    # flat interleaved input + per-channel levels
+    flat = px.reshape(-1)
+    hists2 = cub.DeviceHistogram.MultiHistogramEven(
+        jnp.asarray(flat), [9, 5, 3], [0, 0, 128], [256, 128, 256],
+        num_channels=4, num_active_channels=3)
+    want0, _ = np.histogram(px[:, 0], bins=8, range=(0, 256))
+    np.testing.assert_array_equal(np.asarray(hists2[0]), want0)
+    want1, _ = np.histogram(px[:, 1][px[:, 1] < 128], bins=4,
+                            range=(0, 128))
+    np.testing.assert_array_equal(np.asarray(hists2[1]), want1)
+
+
+def test_multi_histogram_range(rng):
+    n = 3000
+    px = rng.integers(0, 100, size=(n, 2)).astype(np.int32)
+    levels = [np.array([0, 10, 50, 100], np.float32),
+              np.array([0, 25, 100], np.float32)]
+    hists = cub.DeviceHistogram.MultiHistogramRange(
+        jnp.asarray(px), [4, 3], levels)
+    for c, lv in enumerate(levels):
+        want, _ = np.histogram(px[:, c], bins=lv)
+        np.testing.assert_array_equal(np.asarray(hists[c]), want)
+
+
+def test_flagged_if(rng):
+    x = jnp.asarray(np.array([10, 20, 30, 40, 50], np.int32))
+    flags = jnp.asarray(np.array([3, 0, 7, 2, 9], np.int32))
+    out, cnt = cub.DeviceSelect.FlaggedIf(x, flags, lambda f: f > 2)
+    cnt = int(cnt)
+    assert cnt == 3
+    np.testing.assert_array_equal(np.asarray(out)[:cnt], [10, 30, 50])

@@ -94,6 +94,12 @@ class Query:
         return self._with("groupby_agg", tuple(keys),
                           tuple((n, v, a) for n, (v, a) in aggs.items()))
 
+    def distinct(self, *keys: str) -> "Query":
+        """Deduplicate rows by the named columns (all columns when none
+        given); output rows are the distinct key tuples, key-ascending,
+        projected to those columns."""
+        return self._with("distinct", tuple(keys))
+
     def window(self, partition_by: str, order_by: str, outputs: dict, *,
                descending: bool = False) -> "Query":
         """Append window columns over `OVER (PARTITION BY partition_by
@@ -138,6 +144,9 @@ class Query:
                 keys, aggs = st.args
                 lines.append(f"groupby_agg keys={list(keys)} aggs="
                              + str({n: (v, a) for n, v, a in aggs}))
+            elif st.op == "distinct":
+                ks = st.args[0]
+                lines.append("distinct" + (f" {list(ks)}" if ks else ""))
             elif st.op == "window":
                 part, okey, spec, desc = st.args
                 lines.append(
@@ -278,6 +287,15 @@ def _exec_groupby_agg(t: Table, count, st: _Stage, config):
     return Table(out), cnt.astype(jnp.int32)
 
 
+def _exec_distinct(t: Table, count, st: _Stage, config):
+    from cuda.radixsort_tpu.ops.aggregate import groupby_multi
+
+    keys = st.args[0] or t.column_names
+    kc, _, cnt = groupby_multi(tuple(t[k] for k in keys), (), (),
+                               valid=_valid_mask(t, count), config=config)
+    return Table(dict(zip(keys, kc))), cnt.astype(jnp.int32)
+
+
 def _exec_window(t: Table, count, st: _Stage, config):
     from cuda.radixsort_tpu.ops.window import window as window_op
 
@@ -325,6 +343,7 @@ _EXEC = {
     "join": _exec_join,
     "groupby": _exec_groupby,
     "groupby_agg": _exec_groupby_agg,
+    "distinct": _exec_distinct,
     "window": _exec_window,
     "order_by": _exec_order_by,
     "limit": _exec_limit,
@@ -395,6 +414,9 @@ def _run_distributed(q: Query, mesh, axis_name, config):
             elif st.op == "groupby_agg":
                 cols, cnt = _dist_groupby_agg(cols, cnt, st, ndev,
                                               axis_name, config)
+            elif st.op == "distinct":
+                cols, cnt = _dist_distinct(cols, cnt, st, ndev, axis_name,
+                                           config)
             elif st.op == "window":
                 cols, cnt = _dist_window(cols, cnt, st, ndev, axis_name,
                                          config)
@@ -513,6 +535,30 @@ def _dist_join_outer(cols, cnt, st, build, ndev, axis_name, config):
 
     st2 = _Stage("join", (None, on, value, bcnt, how), {})
     return _join_impl(rcols, rcnt, st2, blocal, config)
+
+
+def _dist_distinct(cols, cnt, st, ndev, axis_name, config):
+    """Two-phase distributed dedup: local distinct, hash-of-key-tuple
+    exchange of the survivors, final distinct per shard."""
+    from cuda.radixsort_tpu.ops.aggregate import groupby_multi
+    from cuda.radixsort_tpu.ops.partition import hash32
+    from cuda.radixsort_tpu.parallel.shuffle import exchange_rows
+
+    keys = st.args[0] or tuple(sorted(cols))
+    rows = next(iter(cols.values())).shape[0]
+    kc, _, c1 = groupby_multi(
+        tuple(cols[k] for k in keys), (), (),
+        valid=jnp.arange(rows, dtype=jnp.int32) < cnt, config=config)
+    h = hash32(kc[0])
+    for col in kc[1:]:
+        h = hash32(col.astype(jnp.uint32) ^ h)
+    dest = jnp.where(jnp.arange(kc[0].shape[0], dtype=jnp.int32) < c1,
+                     (h % jnp.uint32(ndev)).astype(jnp.int32), ndev)
+    recv, rvalid = exchange_rows(list(kc), dest, ndev, axis_name,
+                                 kc[0].shape[0])
+    k2, _, c2 = groupby_multi(tuple(recv), (), (), valid=rvalid,
+                              config=config)
+    return dict(zip(keys, k2)), c2.astype(jnp.int32)
 
 
 def _dist_window(cols, cnt, st, ndev, axis_name, config):

@@ -179,6 +179,16 @@ class Table:
         out.update(zip(names, vc))
         return Table(out), cnt
 
+    def distinct(self, *keys: str, config=None):
+        """Distinct rows by the named columns (all when none given) —
+        key-ascending. Returns (table[keys...], count)."""
+        from cuda.radixsort_tpu.ops.aggregate import groupby_multi
+
+        keys = keys or self.column_names
+        kc, _, cnt = groupby_multi(
+            tuple(self._cols[k] for k in keys), (), (), config=config)
+        return Table(dict(zip(keys, kc))), cnt
+
     def window(self, partition_by: str, order_by: str,
                outputs: Mapping[str, object], *, descending: bool = False,
                config: config_lib.SortConfig | None = None):

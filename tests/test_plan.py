@@ -220,3 +220,45 @@ def test_query_join_semi_distributed(rng):
                           for d in range(counts.shape[0])])
     assert got.shape[0] == int((pk % 2 == 1).sum())
     np.testing.assert_array_equal(np.sort(got), np.sort(pk[pk % 2 == 1]))
+
+
+def test_query_distinct_single_and_distributed(rng):
+    from cuda.radixsort_tpu.parallel import dsort
+
+    mesh = dsort.make_mesh()
+    n = 8 * 300 + 7
+    a = rng.integers(0, 6, size=n).astype(np.uint32)
+    b = rng.integers(0, 4, size=n).astype(np.uint32)
+    v = rng.integers(0, 100, size=n).astype(np.int32)
+    t = table(a=jnp.asarray(a), b=jnp.asarray(b), v=jnp.asarray(v))
+
+    def plan(t):
+        return (Query(t).where(lambda t: t["v"] > 20)
+                .distinct("a", "b"))
+
+    so, sc, _ = plan(t).run()
+    sc = int(sc)
+    mask = v > 20
+    want = sorted(set(zip(a[mask].tolist(), b[mask].tolist())))
+    got = sorted(zip(np.asarray(so["a"])[:sc].tolist(),
+                     np.asarray(so["b"])[:sc].tolist()))
+    assert got == want
+
+    do, dc, _ = plan(t).run(mesh=mesh)
+    dc = np.asarray(dc)
+    rows = np.asarray(do["a"]).shape[0] // dc.shape[0]
+    da, db = np.asarray(do["a"]), np.asarray(do["b"])
+    dgot = []
+    for d in range(dc.shape[0]):
+        for i in range(d * rows, d * rows + dc[d]):
+            dgot.append((int(da[i]), int(db[i])))
+    assert sorted(dgot) == want
+    assert len(dgot) == len(set(dgot))  # no cross-shard duplicates
+
+
+def test_table_distinct(rng):
+    a = np.array([3, 1, 3, 2, 1], np.uint32)
+    t = table(a=jnp.asarray(a))
+    out, cnt = t.distinct()
+    assert int(cnt) == 3
+    np.testing.assert_array_equal(np.asarray(out["a"])[:3], [1, 2, 3])

@@ -225,8 +225,17 @@ def groupby_multi(
     return cols[:nk], cols[nk:], count
 
 
+def groupby_quantile(keys, values, qs=(0.5,), *, valid=None, config=None):
+    """Public wrapper: normalizes `qs` (float | list | tuple) to the
+    hashable static tuple the jitted implementation needs."""
+    if isinstance(qs, (int, float)):
+        qs = (float(qs),)
+    return _groupby_quantile(keys, values, tuple(qs), valid=valid,
+                             config=config)
+
+
 @functools.partial(jax.jit, static_argnames=("qs", "config"))
-def groupby_quantile(
+def _groupby_quantile(
     keys: jnp.ndarray,
     values: jnp.ndarray,
     qs: tuple = (0.5,),

@@ -32,7 +32,17 @@ from cuda.radixsort_tpu.ops.select import kth_value, top_k  # noqa: F401
 from cuda.radixsort_tpu.ops.partition import bucket_ids, hash32, partition  # noqa: F401
 from cuda.radixsort_tpu.ops.filter import filter_columns, selection_vector  # noqa: F401
 from cuda.radixsort_tpu.ops.join import join  # noqa: F401
-from cuda.radixsort_tpu.ops.aggregate import groupby, groupby_multi  # noqa: F401
+from cuda.radixsort_tpu.ops.aggregate import (  # noqa: F401
+    groupby,
+    groupby_multi,
+    groupby_quantile,
+)
+from cuda.radixsort_tpu.ops.scan import scan_by_key, segmented_scan  # noqa: F401
+from cuda.radixsort_tpu.ops.window import window  # noqa: F401
+from cuda.radixsort_tpu.ops.external import (  # noqa: F401
+    sort_external,
+    sort_external_pairs,
+)
 from cuda.radixsort_tpu.ops.segmented import segmented_sort  # noqa: F401
 from cuda.radixsort_tpu.ops.unique import (  # noqa: F401
     distinct,

@@ -471,25 +471,28 @@ class DeviceScan:
     @staticmethod
     def ExclusiveScan(d_in, scan_op, initial_value,
                       num_items: int | None = None, stream: Any = None):
-        """scan_op: traceable associative binary op (e.g. jnp.minimum)."""
-        import jax
+        """scan_op: traceable associative binary op (e.g. jnp.minimum).
+        Runs on the doubling-scan path (ops/scan.py) — associative_scan
+        does not compile at >=2^21 elements on this backend."""
         import jax.numpy as jnp
+
+        from cuda.radixsort_tpu.ops.scan import plain_scan
 
         x, wrapped = _unwrap(d_in)
         _check_items(x, num_items)
         init = jnp.asarray(initial_value, x.dtype)
-        inc = jax.lax.associative_scan(scan_op, x)
+        inc = plain_scan(x, scan_op, identity=initial_value)
         out = jnp.concatenate([init[None], scan_op(init, inc[:-1])])
         return _rewrap(out, d_in, wrapped)
 
     @staticmethod
     def InclusiveScan(d_in, scan_op, num_items: int | None = None,
                       stream: Any = None):
-        import jax
+        from cuda.radixsort_tpu.ops.scan import plain_scan
 
         x, wrapped = _unwrap(d_in)
         _check_items(x, num_items)
-        return _rewrap(jax.lax.associative_scan(scan_op, x), d_in, wrapped)
+        return _rewrap(plain_scan(x, scan_op), d_in, wrapped)
 
     @staticmethod
     def InclusiveScanInit(d_in, scan_op, init_value,
@@ -501,8 +504,10 @@ class DeviceScan:
 
         x, wrapped = _unwrap(d_in)
         _check_items(x, num_items)
+        from cuda.radixsort_tpu.ops.scan import plain_scan
+
         out = scan_op(jnp.asarray(init_value, x.dtype),
-                      jax.lax.associative_scan(scan_op, x))
+                      plain_scan(x, scan_op))
         return _rewrap(out, d_in, wrapped)
 
     # ---- by-key scans (device_scan.cuh:1178-1801): segments are runs of
@@ -615,27 +620,22 @@ class DeviceReduce:
                num_items: int | None = None, stream: Any = None):
         """reduction_op: traceable associative binary op; init its identity
         (CUB passes init explicitly too)."""
-        import jax
-        import jax.numpy as jnp
+        from cuda.radixsort_tpu.ops.scan import reduce_with
 
         x, _ = _unwrap(d_in)
         _check_items(x, num_items)
-        total = jax.lax.associative_scan(reduction_op, x)[-1]
-        return reduction_op(jnp.asarray(init, x.dtype), total)
+        return reduce_with(x, reduction_op, init)
 
     @staticmethod
     def TransformReduce(d_in, reduction_op, transform_op, init,
                         num_items: int | None = None, stream: Any = None):
         """Fused transform + reduce (device_reduce.cuh TransformReduce);
         XLA fuses the elementwise map into the reduction for free."""
-        import jax
-        import jax.numpy as jnp
+        from cuda.radixsort_tpu.ops.scan import reduce_with
 
         x, _ = _unwrap(d_in)
         _check_items(x, num_items)
-        t = transform_op(x)
-        total = jax.lax.associative_scan(reduction_op, t)[-1]
-        return reduction_op(jnp.asarray(init, t.dtype), total)
+        return reduce_with(transform_op(x), reduction_op, init)
 
     @staticmethod
     def ReduceByKey(d_keys_in, d_values_in, reduction_op=None,
@@ -944,6 +944,10 @@ class DeviceCopy:
         nb = so.shape[0]
         if nb == 0:
             return _rewrap(dst, d_dst, wrapped)
+        # zero-size buffers must not enter the searchsorted basis — an
+        # empty buffer whose dst_offset lands inside another's range would
+        # shadow it; push them past every destination index
+        do = jnp.where(sz > 0, do, dst.shape[0])
         order = jnp.argsort(do)
         so, do, sz = so[order], do[order], sz[order]
         i = jnp.arange(dst.shape[0], dtype=jnp.int32)

@@ -287,10 +287,13 @@ def _groupby_quantile(
     sv = svals.astype(md)
     qcols = []
     for q in qs:
-        idx_f = (cnts - 1).astype(md) * jnp.asarray(q, md)
+        # index math ALWAYS in f32: a low-precision value dtype (bf16/f16
+        # mean dtype) would round (cnt-1)*q to the wrong element for large
+        # groups; only the final lerp runs in the value's mean dtype
+        idx_f = (cnts - 1).astype(jnp.float32) * jnp.float32(q)
         lo = jnp.clip(jnp.floor(idx_f).astype(jnp.int32), 0, n - 1)
         hi = jnp.clip(jnp.ceil(idx_f).astype(jnp.int32), 0, n - 1)
-        frac = idx_f - lo.astype(md)
+        frac = (idx_f - lo.astype(jnp.float32)).astype(md)
         vlo = jnp.take(sv, jnp.clip(start + lo, 0, n - 1), axis=0)
         vhi = jnp.take(sv, jnp.clip(start + hi, 0, n - 1), axis=0)
         qcols.append(vlo * (1 - frac) + vhi * frac)

@@ -170,7 +170,13 @@ def join(
             keep = (is_probe & matched) | build_only
         else:
             keep = is_probe | build_only
-        out_v = jnp.where(is_probe, cv, svals)
+        # unmatched probe rows zero-fill their build value (cv would carry
+        # the last build row of an unrelated smaller key) — symmetric with
+        # the zero-filled probe columns of build-only rows
+        out_v = jnp.where(is_probe,
+                          jnp.where(matched, cv,
+                                    jnp.zeros((), svals.dtype)),
+                          svals)
         out_i = jnp.where(is_probe, sorig, -1)
         out_m = is_probe & matched
         (ok, ov, oi, om), count = _filter_columns(

@@ -6,19 +6,23 @@ maximal runs of CONSECUTIVE keys equal under ``equality_op`` — a run-based
 contract, not a global group-by (sort first, or use ops.aggregate.groupby,
 for grouped semantics).
 
-TPU-native design: the classic segmented-scan monoid over (head_flag,
-value) pairs,
+TPU-native design — compact primitives ONLY. ``jax.lax.associative_scan``
+fails to compile at >=2^21 elements through this backend's remote-compile
+path (measured; ops/join.py and ops/aggregate.py carry the same note), so:
 
-    (fa, va) . (fb, vb) = (fa | fb,  vb          if fb
-                                     op(va, vb)  otherwise)
+* sum (and count): one ``cumsum`` + one segment-start position fill
+  (``cummax`` of marked positions — positions are monotone, so the fill is
+  exact for ANY value sign) + one gather of the exclusive prefix at the
+  segment start:  out[i] = cs[i] - exc[start(i)].
+* everything else (min/max/prod/custom associative op): a hand-rolled
+  Hillis–Steele doubling scan with head-flag propagation — ceil(log2 n)
+  unrolled steps, each a shift + where + op (the same elementwise shapes
+  the bitonic networks compile from in seconds). Same log-depth tree an
+  associative_scan would build, without the primitive's lowering.
 
-run through ``lax.associative_scan`` — ONE fused XLA scan over the whole
-batch, no kernel boundaries, no per-segment launches, ragged segments
-load-balance for free (the CUDA reference needs a tile-state lookback
-chain per scan; XLA's scan lowers to the same log-depth tree the hardware
-wants). Exclusive scans shift values one slot right WITHIN each segment
-(head slots take the operator identity) and run the same inclusive monoid;
-a per-segment ``init`` then combines from the left, which is exactly CUB's
+Exclusive scans shift values one slot right WITHIN each segment (head
+slots take the operator identity) and run the same inclusive machinery; a
+per-segment ``init`` then combines from the left, which is exactly CUB's
 "init_value is applied to the first element of each segment" contract.
 """
 
@@ -71,6 +75,34 @@ def _head_flags(keys, n, equality_op):
     return jnp.concatenate([jnp.ones((1,), bool), neq])
 
 
+def _segmented_cumsum(values, flags):
+    """Inclusive segmented sum: cumsum minus the exclusive prefix at each
+    segment's start (start positions are monotone -> exact cummax fill)."""
+    n = values.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    cs = jnp.cumsum(values)
+    exc = cs - values
+    start = jax.lax.cummax(jnp.where(flags, pos, -1))
+    return cs - jnp.take(exc, jnp.clip(start, 0, n - 1), axis=0)
+
+
+def _segmented_doubling(values, flags, f):
+    """Inclusive segmented scan for an arbitrary associative op: flagged
+    Hillis–Steele doubling, ceil(log2 n) unrolled shift+where steps."""
+    n = values.shape[0]
+    v, fl = values, flags
+    d = 1
+    while d < n:
+        pv = jnp.concatenate([v[:d], v[:-d]])   # v[i-d]; first d rows unused
+        pf = jnp.concatenate([jnp.ones((d,), bool), fl[:-d]])
+        in_range = jnp.arange(n, dtype=jnp.int32) >= d
+        take = in_range & jnp.logical_not(fl)
+        v = jnp.where(take, f(pv, v), v)
+        fl = fl | jnp.where(in_range, pf, False)
+        d *= 2
+    return v
+
+
 def segmented_scan(
     values: jnp.ndarray,
     head_flags: jnp.ndarray,
@@ -91,22 +123,54 @@ def segmented_scan(
     f, ident = _resolve_op(op, identity, values.dtype,
                            need_identity=exclusive)
     n = values.shape[0]
+    if n == 0:
+        return values
     flags = jnp.concatenate(
         [jnp.ones((1,), bool), head_flags.astype(bool)[1:]])
     if exclusive:
         shifted = jnp.concatenate([jnp.full((1,), ident, values.dtype),
                                    values[:-1]])
         values = jnp.where(flags, ident, shifted)
-
-    def combine(a, b):
-        af, av = a
-        bf, bv = b
-        return af | bf, jnp.where(bf, bv, f(av, bv))
-
-    _, out = jax.lax.associative_scan(combine, (flags, values))
+    # sum fast path: ints only — the cumsum-difference trick subtracts two
+    # GLOBAL prefixes, so float error would scale with the whole array's
+    # magnitude (catastrophic cancellation near segment starts); floats
+    # take the doubling path, which only ever combines within segments
+    if op == "sum" and jnp.issubdtype(values.dtype, jnp.integer):
+        out = _segmented_cumsum(values, flags)
+    else:
+        out = _segmented_doubling(values, flags, f)
     if init is not None:
         out = f(jnp.asarray(init, values.dtype), out)
     return out
+
+
+def plain_scan(values, op, *, identity=None, exclusive: bool = False,
+               init=None):
+    """Whole-array prefix scan on the same compact-primitive machinery
+    (one all-False flag set) — the associative_scan-free path the compat
+    layers (DeviceScan/thrust) use for custom operators."""
+    n = values.shape[0]
+    if n == 0:
+        return values
+    flags = jnp.zeros((n,), bool)
+    return segmented_scan(values, flags, op, identity=identity,
+                          exclusive=exclusive, init=init)
+
+
+def reduce_with(values, op, init=None, *, identity=None):
+    """Whole-array reduction for an arbitrary associative op: a log-depth
+    pairwise fold (halving loop) — no scan primitive, no n-step loop."""
+    f, _ = _resolve_op(op, identity, values.dtype, need_identity=False)
+    v = values
+    while v.shape[0] > 1:
+        m = v.shape[0] // 2
+        head = f(v[:m], v[m:2 * m])
+        v = (head if v.shape[0] % 2 == 0
+             else jnp.concatenate([head, v[-1:]]))
+    total = v[0]
+    if init is not None:
+        total = f(jnp.asarray(init, values.dtype), total)
+    return total
 
 
 @functools.partial(

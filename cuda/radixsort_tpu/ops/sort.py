@@ -133,9 +133,7 @@ def _tile_rank(digit_tiles: jnp.ndarray) -> jnp.ndarray:
     is_start = jnp.concatenate(
         [jnp.ones((t, 1), bool), sd[:, 1:] != sd[:, :-1]], axis=1
     )
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, 0), axis=1
-    )
+    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
     rank_sorted = pos - run_start
     rows = jnp.arange(t, dtype=jnp.int32)[:, None]
     return jnp.zeros_like(digit_tiles, dtype=jnp.int32).at[rows, order].set(rank_sorted)

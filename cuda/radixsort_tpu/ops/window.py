@@ -124,3 +124,39 @@ def window(
             out_cols[name] = jnp.where(tails, jnp.zeros((), v.dtype),
                                        shifted)
     return spart, sorder, sv, out_cols, count
+
+
+def window_table(
+    cols,
+    partition_by: str,
+    order_by: str,
+    spec,
+    *,
+    valid=None,
+    descending: bool = False,
+    config=None,
+):
+    """Shared stage body for Query.window / Table.window / the distributed
+    plan: one collision check, one payload assembly, one output-dict
+    assembly. A window source may name ANY column — including the
+    partition or order column itself (the canonical running-total
+    `cumsum over the order key` case): those ride the sort a second time
+    as payload so the scan sees them aligned.
+
+    Returns (out_cols: dict with all input columns (reordered) + window
+    columns, count)."""
+    for n_, _, _ in spec:
+        if n_ in cols:
+            raise ValueError(f"window output {n_!r} collides with an "
+                             "existing column")
+    needed = {src for _, src, _ in spec if src is not None}
+    payload = {k: v for k, v in cols.items()
+               if k not in (partition_by, order_by) or k in needed}
+    sp, so, sv, wcols, cnt = window(
+        cols[partition_by], cols[order_by], payload, spec, valid=valid,
+        descending=descending, config=config)
+    out = dict(sv)
+    out[partition_by] = sp
+    out[order_by] = so
+    out.update(wcols)
+    return out, cnt

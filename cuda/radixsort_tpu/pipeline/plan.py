@@ -297,21 +297,12 @@ def _exec_distinct(t: Table, count, st: _Stage, config):
 
 
 def _exec_window(t: Table, count, st: _Stage, config):
-    from cuda.radixsort_tpu.ops.window import window as window_op
+    from cuda.radixsort_tpu.ops.window import window_table
 
     part, okey, spec, desc = st.args
-    for n_, _, _ in spec:
-        if n_ in t.column_names:
-            raise ValueError(f"window output {n_!r} collides with an "
-                             "existing column")
-    payload = {k: t[k] for k in t.column_names
-               if k not in (part, okey)}
-    sp, so, sv, wcols, cnt = window_op(
-        t[part], t[okey], payload, spec,
-        valid=_valid_mask(t, count), descending=desc, config=config)
-    out = {part: sp, okey: so}
-    out.update(sv)
-    out.update(wcols)
+    out, cnt = window_table({k: t[k] for k in t.column_names}, part, okey,
+                            spec, valid=_valid_mask(t, count),
+                            descending=desc, config=config)
     return Table(out), cnt.astype(jnp.int32)
 
 
@@ -566,31 +557,21 @@ def _dist_window(cols, cnt, st, ndev, axis_name, config):
     exactly one device), then the single-chip window runs per shard —
     within-partition sequences are bit-identical to the single-chip plan;
     cross-partition placement follows the hash (like distributed groupby)."""
-    from cuda.radixsort_tpu.ops.window import window as window_op
+    from cuda.radixsort_tpu.ops.window import window_table
     from cuda.radixsort_tpu.parallel.shuffle import (
         _owner_of_keys,
         exchange_rows,
     )
 
     part, okey, spec, desc = st.args
-    for n_, _, _ in spec:
-        if n_ in cols:
-            raise ValueError(f"window output {n_!r} collides with an "
-                             "existing column")
     rows = next(iter(cols.values())).shape[0]
     valid0 = jnp.arange(rows, dtype=jnp.int32) < cnt
     dest = jnp.where(valid0, _owner_of_keys(cols[part], ndev), ndev)
     names = list(cols)
     recv, rvalid = exchange_rows([cols[k] for k in names], dest, ndev,
                                  axis_name, rows)
-    rcols = dict(zip(names, recv))
-    payload = {k: v for k, v in rcols.items() if k not in (part, okey)}
-    sp, so, sv, wcols, c2 = window_op(
-        rcols[part], rcols[okey], payload, spec, valid=rvalid,
-        descending=desc, config=config)
-    out = {part: sp, okey: so}
-    out.update(sv)
-    out.update(wcols)
+    out, c2 = window_table(dict(zip(names, recv)), part, okey, spec,
+                           valid=rvalid, descending=desc, config=config)
     return out, c2.astype(jnp.int32)
 
 

@@ -196,23 +196,13 @@ class Table:
         `outputs` maps out_name -> fn (row_number/rank/dense_rank) or
         out_name -> (value_column, fn) (cumsum/cummin/cummax/lag/lead).
         Rows are reordered to (partition, order). Returns a Table."""
-        from cuda.radixsort_tpu.ops.window import window as window_op
+        from cuda.radixsort_tpu.ops.window import window_table
 
         spec = tuple(
             (n, None, v) if isinstance(v, str) else (n, v[0], v[1])
             for n, v in outputs.items())
-        for n_, _, _ in spec:
-            if n_ in self._cols:
-                raise ValueError(f"window output {n_!r} collides with an "
-                                 "existing column")
-        payload = {k: v for k, v in self._cols.items()
-                   if k not in (partition_by, order_by)}
-        sp, so, sv, wcols, _ = window_op(
-            self._cols[partition_by], self._cols[order_by], payload, spec,
-            descending=descending, config=config)
-        out = {partition_by: sp, order_by: so}
-        out.update(sv)
-        out.update(wcols)
+        out, _ = window_table(dict(self._cols), partition_by, order_by,
+                              spec, descending=descending, config=config)
         return Table(out)
 
     def join(self, build: "Table", *, on: str, value: str,

@@ -267,10 +267,9 @@ def reduce(x, init=None, binary_op: Callable | None = None):
     if binary_op is None:
         total = jnp.sum(x)
         return total if init is None else total + jnp.asarray(init, x.dtype)
-    total = jax.lax.associative_scan(binary_op, x)[-1]
-    if init is None:
-        return total
-    return binary_op(jnp.asarray(init, x.dtype), total)
+    from cuda.radixsort_tpu.ops.scan import reduce_with
+
+    return reduce_with(x, binary_op, init)
 
 
 def reduce_by_key(keys, values, binary_op: str = "sum", *, config=None):
@@ -299,15 +298,19 @@ def inclusive_scan(x, binary_op: Callable | None = None):
     """thrust::inclusive_scan."""
     if binary_op is None:
         return jnp.cumsum(x, dtype=x.dtype)
-    return jax.lax.associative_scan(binary_op, x)
+    from cuda.radixsort_tpu.ops.scan import plain_scan
+
+    return plain_scan(x, binary_op)
 
 
 def exclusive_scan(x, init=0, binary_op: Callable | None = None):
     """thrust::exclusive_scan."""
     if binary_op is None:
         return jnp.cumsum(x, dtype=x.dtype) - x + jnp.asarray(init, x.dtype)
+    from cuda.radixsort_tpu.ops.scan import plain_scan
+
     init = jnp.asarray(init, x.dtype)
-    inc = jax.lax.associative_scan(binary_op, x)
+    inc = plain_scan(x, binary_op)
     return jnp.concatenate([init[None], binary_op(init, inc[:-1])])
 
 
@@ -434,22 +437,26 @@ def transform(op: Callable, *xs):
 
 def transform_reduce(x, unary_op: Callable, init, binary_op: Callable):
     """thrust::transform_reduce."""
-    t = jax.vmap(unary_op)(x)
-    total = jax.lax.associative_scan(binary_op, t)[-1]
-    return binary_op(jnp.asarray(init, t.dtype), total)
+    from cuda.radixsort_tpu.ops.scan import reduce_with
+
+    return reduce_with(jax.vmap(unary_op)(x), binary_op, init)
 
 
 def transform_inclusive_scan(x, unary_op: Callable, binary_op: Callable):
     """thrust::transform_inclusive_scan."""
-    return jax.lax.associative_scan(binary_op, jax.vmap(unary_op)(x))
+    from cuda.radixsort_tpu.ops.scan import plain_scan
+
+    return plain_scan(jax.vmap(unary_op)(x), binary_op)
 
 
 def transform_exclusive_scan(x, unary_op: Callable, init,
                              binary_op: Callable):
     """thrust::transform_exclusive_scan."""
+    from cuda.radixsort_tpu.ops.scan import plain_scan
+
     t = jax.vmap(unary_op)(x)
     ini = jnp.asarray(init, t.dtype)
-    inc = jax.lax.associative_scan(binary_op, t)
+    inc = plain_scan(t, binary_op)
     return jnp.concatenate([ini[None], binary_op(ini, inc[:-1])])
 
 

@@ -370,3 +370,16 @@ def test_query_groupby_median_distributed(mesh, rng):
             np.testing.assert_allclose(vv[i], want[int(kk[i])], rtol=1e-6)
             seen += 1
     assert seen == uk.shape[0]
+
+
+def test_groupby_quantile_bf16_values(rng):
+    """Review fix: quantile INDEX math must run in f32 even when the value
+    dtype's mean dtype is low-precision (bf16)."""
+    from cuda.radixsort_tpu.ops.aggregate import groupby_quantile
+    n = 4000  # one group of 4000 rows: (n-1)*0.5 not representable in bf16
+    k = np.zeros(n, np.uint32)
+    v = np.arange(n, dtype=np.float32).astype(jnp.bfloat16)
+    gk, (m,), cnt = groupby_quantile(jnp.asarray(k), jnp.asarray(v), (0.5,))
+    assert int(cnt) == 1
+    got = float(np.asarray(m.astype(jnp.float32))[0])
+    assert abs(got - (n - 1) / 2) <= 2.0  # bf16 value rounding only

@@ -179,3 +179,20 @@ def test_query_right_join_distributed(mesh, rng):
     present = np.isin(bk, pk)
     assert sorted(got_unmatched) == sorted(bk[~present].tolist())
     assert nmatch == int(np.isin(pk, bk).sum())
+
+
+def test_full_join_unmatched_probe_value_zero_filled():
+    """Review fix: an unmatched probe row must not carry the carried
+    build value of an unrelated smaller key."""
+    bk = np.array([1], np.uint32)
+    bv = np.array([10], np.int32)
+    pk = np.array([2], np.uint32)
+    ok, ov, oi, cnt, om = join(jnp.asarray(bk), jnp.asarray(bv),
+                               jnp.asarray(pk), how="full")
+    cnt = int(cnt)
+    assert cnt == 2
+    rows = {int(k): (int(v), bool(m))
+            for k, v, m in zip(np.asarray(ok)[:cnt], np.asarray(ov)[:cnt],
+                               np.asarray(om)[:cnt])}
+    assert rows[2] == (0, False)     # unmatched probe: zero value
+    assert rows[1] == (10, False)    # unmatched build keeps its own value

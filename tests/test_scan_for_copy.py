@@ -366,3 +366,42 @@ def test_flagged_if(rng):
     cnt = int(cnt)
     assert cnt == 3
     np.testing.assert_array_equal(np.asarray(out)[:cnt], [10, 30, 50])
+
+
+def test_batched_copy_zero_size_shadowing():
+    """A zero-size buffer inside another buffer's dst range must not
+    shadow it (review fix)."""
+    src = jnp.asarray(np.array([1, 2, 3, 4], np.int32))
+    dst = jnp.full((4,), -1, jnp.int32)
+    so = np.array([0, 1], np.int32)
+    do = np.array([0, 2], np.int32)
+    sz = np.array([4, 0], np.int32)
+    out = np.asarray(cub.DeviceCopy.Batched(src, dst, so, do, sz))
+    np.testing.assert_array_equal(out, [1, 2, 3, 4])
+
+
+def test_plain_scan_and_reduce_with(rng):
+    from cuda.radixsort_tpu.ops.scan import plain_scan, reduce_with
+
+    x = rng.integers(-50, 50, size=1237).astype(np.int64)
+    got = np.asarray(plain_scan(jnp.asarray(x), jnp.minimum))
+    np.testing.assert_array_equal(got, np.minimum.accumulate(x))
+    got2 = np.asarray(plain_scan(jnp.asarray(x), "sum"))
+    np.testing.assert_array_equal(got2, np.cumsum(x))
+    assert int(reduce_with(jnp.asarray(x), jnp.maximum)) == x.max()
+    assert int(reduce_with(jnp.asarray(x), jnp.add, 5)) == x.sum() + 5
+
+
+def test_segmented_scan_signed_sum_and_doubling(rng):
+    """Signed sums through the cumsum+gather path; min via the doubling
+    path — both replaced associative_scan (compile-size review fix)."""
+    n = 4096
+    keys = rng.integers(0, 9, size=n).astype(np.uint32)
+    vals = rng.integers(-1000, 1000, size=n).astype(np.int64)
+    got = np.asarray(scan_by_key(jnp.asarray(keys), jnp.asarray(vals)))
+    want = _oracle_scan_by_key(keys, vals, lambda a, b: a + b)
+    np.testing.assert_array_equal(got, want)
+    gmin = np.asarray(scan_by_key(jnp.asarray(keys), jnp.asarray(vals),
+                                  "min"))
+    np.testing.assert_array_equal(gmin, _oracle_scan_by_key(keys, vals,
+                                                            min))

@@ -211,3 +211,23 @@ def test_table_window(rng):
         assert row[4] == int(t2["cs"][i])
     with pytest.raises(ValueError):
         t.window("p", "o", {"v": "row_number"})
+
+
+def test_window_source_is_order_column(rng):
+    """Running total over the column you ordered by (review fix): the
+    order/partition columns are valid window sources."""
+    part = np.array([1, 1, 1, 2, 2], np.uint32)
+    amt = np.array([5, 3, 9, 2, 8], np.uint32)
+    t = table(p=jnp.asarray(part), amt=jnp.asarray(amt))
+    t2 = t.window("p", "amt", {"running": ("amt", "cumsum"),
+                               "prevp": ("p", "lag")})
+    np.testing.assert_array_equal(np.asarray(t2["amt"]), [3, 5, 9, 2, 8])
+    np.testing.assert_array_equal(np.asarray(t2["running"]),
+                                  [3, 8, 17, 2, 10])
+    np.testing.assert_array_equal(np.asarray(t2["prevp"]), [0, 1, 1, 0, 2])
+    # and through the Query plan
+    out, cnt, _ = (Query(t)
+                   .window("p", "amt", {"run2": ("amt", "cumsum")})
+                   .run())
+    np.testing.assert_array_equal(np.asarray(out["run2"]),
+                                  [3, 8, 17, 2, 10])

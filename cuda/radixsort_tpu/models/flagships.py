@@ -108,6 +108,42 @@ def table_query(n: int = 1 << 18, n_build: int = 1 << 14):
     return fn, (k, v, bk, bk.astype(jnp.int32))
 
 
+def window_pipeline(n: int = 1 << 18):
+    """Analytics window pipeline: partition ranks + running totals in one
+    struct sort (ops/window.py)."""
+    from cuda.radixsort_tpu.ops.window import window as window_op
+
+    def fn(part, order, vals):
+        sp, so, sv, wc, cnt = window_op(
+            part, order, {"v": vals},
+            (("rn", None, "row_number"), ("rk", None, "rank"),
+             ("cs", "v", "cumsum")))
+        return sp, wc["rn"], wc["rk"], wc["cs"], cnt
+
+    part = _rng_u32(5, n) % jnp.uint32(1 << 10)
+    order = _rng_u32(6, n) % jnp.uint32(1 << 20)
+    return fn, (part, order, (_rng_u32(7, n) % jnp.uint32(99))
+                .astype(jnp.int32))
+
+
+def outer_join_agg(n_probe: int = 1 << 18, n_build: int = 1 << 14):
+    """Full outer join feeding a grouped mean — the session-5 operator set
+    end-to-end (outer join -> decomposed aggregate)."""
+    import cuda.radixsort_tpu as rs
+    from cuda.radixsort_tpu.ops.join import join
+
+    def fn(build_keys, build_vals, probe_keys):
+        ok, ov, oi, cnt, om = join(build_keys, build_vals, probe_keys,
+                                   how="full")
+        valid = jnp.arange(ok.shape[0], dtype=jnp.int32) < cnt
+        gk, gv, gcnt = rs.groupby(ok, ov, agg="mean", valid=valid)
+        return gk, gv, gcnt
+
+    bk = jnp.arange(n_build, dtype=jnp.uint32) * jnp.uint32(2)
+    pk = _rng_u32(8, n_probe) % jnp.uint32(2 * n_build)
+    return fn, (bk, bk.astype(jnp.int32), pk)
+
+
 REGISTRY = {
     "sort_u32": sort_u32,
     "sort_pairs_u64": sort_pairs_u64,
@@ -116,4 +152,6 @@ REGISTRY = {
     "groupby_zipf": groupby_zipf,
     "filter_sort_join_query": filter_sort_join_query,
     "table_query": table_query,
+    "window_pipeline": window_pipeline,
+    "outer_join_agg": outer_join_agg,
 }

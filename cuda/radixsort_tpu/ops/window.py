@@ -92,21 +92,24 @@ def window(
         jnp.ones((1,), bool),
         (spart[1:] != spart[:-1]) | (sflag[1:] != sflag[:-1]),
     ])
-    ones = jnp.ones((n,), jnp.int32)
-    row_number = segmented_scan(ones, heads, "sum")
+    # ranks are pure position arithmetic over monotone start-position
+    # fills (cummax of marked positions) — no scans at all:
+    #   row_number = pos - partition_start + 1
+    #   rank       = peer_run_start - partition_start + 1
+    pos = jnp.arange(n, dtype=jnp.int32)
+    part_start = jax.lax.cummax(jnp.where(heads, pos, -1))
+    row_number = pos - part_start + 1
     # peer runs (equal order value within a partition) drive rank/dense_rank
     peer_heads = heads | jnp.concatenate(
         [jnp.ones((1,), bool), sorder[1:] != sorder[:-1]])
+    peer_start = jax.lax.cummax(jnp.where(peer_heads, pos, -1))
 
     out_cols = {}
     for name, src, fn in outputs:
         if fn == "row_number":
             out_cols[name] = row_number
         elif fn == "rank":
-            # rank = row_number at the start of each peer run, held flat
-            # across ties (first-value propagation is associative)
-            out_cols[name] = segmented_scan(
-                row_number, peer_heads, lambda a, b: a)
+            out_cols[name] = peer_start - part_start + 1
         elif fn == "dense_rank":
             out_cols[name] = segmented_scan(
                 peer_heads.astype(jnp.int32), heads, "sum")

@@ -113,9 +113,12 @@ class Query:
         return self._with("window", partition_by, order_by, spec,
                           descending)
 
-    def order_by(self, key: str, *, descending: bool = False) -> "Query":
-        """Stable sort by one column; invalid tail rows stay in the tail."""
-        return self._with("order_by", key, descending)
+    def order_by(self, *keys: str, descending: bool = False) -> "Query":
+        """Stable lexicographic sort by one or more columns (most
+        significant first); invalid tail rows stay in the tail."""
+        if not keys:
+            raise ValueError("order_by needs at least one column")
+        return self._with("order_by", keys, descending)
 
     def limit(self, k: int) -> "Query":
         """Truncate the valid prefix to at most k rows."""
@@ -309,17 +312,18 @@ def _exec_window(t: Table, count, st: _Stage, config):
 def _exec_order_by(t: Table, count, st: _Stage, config):
     from cuda.radixsort_tpu.ops.sort import sort_struct
 
-    key, descending = st.args
+    keys, descending = st.args
+    keys = (keys,) if isinstance(keys, str) else tuple(keys)
     # validity limb: chosen so the struct-wide `descending` still sinks the
     # invalid tail rows last (they are real dropped rows, not sentinels)
     valid = _valid_mask(t, count)
     flag = (valid if descending else jnp.logical_not(valid)).astype(jnp.uint8)
-    others = tuple(n for n in t.column_names if n != key)
-    (_, sk), sv = sort_struct((flag, t[key]),
-                              tuple(t[n] for n in others),
-                              descending=descending, config=config)
+    others = tuple(n for n in t.column_names if n not in keys)
+    (_, *sk), sv = sort_struct((flag,) + tuple(t[k] for k in keys),
+                               tuple(t[n] for n in others),
+                               descending=descending, config=config)
     out = dict(zip(others, sv))
-    out[key] = sk
+    out.update(zip(keys, sk))
     return Table(out), count
 
 

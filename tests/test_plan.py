@@ -262,3 +262,17 @@ def test_table_distinct(rng):
     out, cnt = t.distinct()
     assert int(cnt) == 3
     np.testing.assert_array_equal(np.asarray(out["a"])[:3], [1, 2, 3])
+
+
+def test_order_by_multi_column(rng):
+    n = 1000
+    a = rng.integers(0, 5, size=n).astype(np.uint32)
+    b = rng.integers(0, 100, size=n).astype(np.int32)
+    t = table(a=jnp.asarray(a), b=jnp.asarray(b))
+    out, cnt, _ = Query(t).order_by("a", "b").run()
+    order = np.lexsort((b, a))
+    np.testing.assert_array_equal(np.asarray(out["a"]), a[order])
+    np.testing.assert_array_equal(np.asarray(out["b"]), b[order])
+    out2, _, _ = Query(t).order_by("a", "b", descending=True).run()
+    np.testing.assert_array_equal(np.asarray(out2["a"]), a[order][::-1])
+    np.testing.assert_array_equal(np.asarray(out2["b"]), b[order][::-1])

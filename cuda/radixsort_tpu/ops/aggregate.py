@@ -227,16 +227,21 @@ def groupby_multi(
 
 def groupby_quantile(keys, values, qs=(0.5,), *, valid=None, config=None):
     """Public wrapper: normalizes `qs` (float | list | tuple) to the
-    hashable static tuple the jitted implementation needs."""
+    hashable static tuple the jitted implementation needs. `keys` may be
+    one array or a tuple of key columns (composite group key): the return
+    is then (key_columns_tuple, quantile_columns, count)."""
     if isinstance(qs, (int, float)):
         qs = (float(qs),)
-    return _groupby_quantile(keys, values, tuple(qs), valid=valid,
-                             config=config)
+    multi = isinstance(keys, (tuple, list))
+    kc, qc, cnt = _groupby_quantile(
+        tuple(keys) if multi else (keys,), values, tuple(qs), valid=valid,
+        config=config)
+    return (kc if multi else kc[0]), qc, cnt
 
 
 @functools.partial(jax.jit, static_argnames=("qs", "config"))
 def _groupby_quantile(
-    keys: jnp.ndarray,
+    key_columns,
     values: jnp.ndarray,
     qs: tuple = (0.5,),
     *,
@@ -258,24 +263,29 @@ def _groupby_quantile(
     from cuda.radixsort_tpu.ops.sort import sort_struct as _sort_struct
 
     cfg = config_lib.resolve(config)
-    n = keys.shape[0]
+    key_columns = tuple(key_columns)
+    n = key_columns[0].shape[0]
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
     if n == 0:
         md = _mean_dtype(values.dtype)
-        return keys, tuple(jnp.zeros((0,), md) for _ in qs), jnp.zeros(
-            (), jnp.int32)
+        return (key_columns, tuple(jnp.zeros((0,), md) for _ in qs),
+                jnp.zeros((), jnp.int32))
     if valid is None:
-        (skeys, svals) = _sort_struct((keys, values), config=cfg)
+        sorted_cols = _sort_struct(key_columns + (values,), config=cfg)
+        skeys, svals = tuple(sorted_cols[:-1]), sorted_cols[-1]
         valid_sorted = None
     else:
         flag = jnp.logical_not(valid).astype(jnp.uint8)
-        (sflag, skeys, svals) = _sort_struct((flag, keys, values),
-                                             config=cfg)
-        valid_sorted = sflag == 0
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
+        sorted_cols = _sort_struct((flag,) + key_columns + (values,),
+                                   config=cfg)
+        skeys, svals = tuple(sorted_cols[1:-1]), sorted_cols[-1]
+        valid_sorted = sorted_cols[0] == 0
+    is_start = jnp.zeros((n,), bool).at[0].set(True)
+    for col in skeys:
+        is_start = is_start | jnp.concatenate(
+            [jnp.zeros((1,), bool), col[1:] != col[:-1]])
     if valid_sorted is not None:
         is_start = is_start | jnp.concatenate(
             [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]])
@@ -298,6 +308,7 @@ def _groupby_quantile(
         vhi = jnp.take(sv, jnp.clip(start + hi, 0, n - 1), axis=0)
         qcols.append(vlo * (1 - frac) + vhi * frac)
     keep = is_start if valid_sorted is None else (is_start & valid_sorted)
-    cols, count = _filter_columns(keep, (skeys,) + tuple(qcols),
+    cols, count = _filter_columns(keep, skeys + tuple(qcols),
                                   config=cfg)
-    return cols[0], cols[1:], count
+    nk = len(skeys)
+    return cols[:nk], cols[nk:], count

@@ -275,19 +275,40 @@ def _exec_groupby(t: Table, count, st: _Stage, config):
     return Table({key: gk, out_name: gv}), cnt.astype(jnp.int32)
 
 
-def _exec_groupby_agg(t: Table, count, st: _Stage, config):
-    from cuda.radixsort_tpu.ops.aggregate import groupby_multi
+def _groupby_agg_cols(cols, keys, aggs, valid, config):
+    """Shared multi-agg stage body (columns dict in, columns dict out).
 
-    keys, aggs = st.args
-    names = [n for n, _, _ in aggs]
+    Decomposable/moment aggregates run in ONE groupby_multi; median columns
+    each run a groupby_quantile over the same composite key — both compact
+    the same distinct key set in the same ascending order, so the output
+    columns align positionally by construction."""
+    from cuda.radixsort_tpu.ops.aggregate import (
+        groupby_multi,
+        groupby_quantile,
+    )
+
+    normal = tuple((n, v, a) for n, v, a in aggs if a != "median")
+    med = tuple((n, v) for n, v, a in aggs if a == "median")
     kc, vc, cnt = groupby_multi(
-        tuple(t[k] for k in keys),
-        tuple(t[v] for _, v, _ in aggs),
-        tuple(a for _, _, a in aggs),
-        valid=_valid_mask(t, count), config=config)
+        tuple(cols[k] for k in keys),
+        tuple(cols[v] for _, v, _ in normal),
+        tuple(a for _, _, a in normal),
+        valid=valid, config=config)
     out = dict(zip(keys, kc))
-    out.update(zip(names, vc))
-    return Table(out), cnt.astype(jnp.int32)
+    out.update({n: c for (n, _, _), c in zip(normal, vc)})
+    for n_, v in med:
+        _, (mcol,), _ = groupby_quantile(
+            tuple(cols[k] for k in keys), cols[v], (0.5,), valid=valid,
+            config=config)
+        out[n_] = mcol
+    return out, cnt.astype(jnp.int32)
+
+
+def _exec_groupby_agg(t: Table, count, st: _Stage, config):
+    keys, aggs = st.args
+    out, cnt = _groupby_agg_cols({k: t[k] for k in t.column_names}, keys,
+                                 aggs, _valid_mask(t, count), config)
+    return Table(out), cnt
 
 
 def _exec_distinct(t: Table, count, st: _Stage, config):
@@ -594,6 +615,22 @@ def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):
     from cuda.radixsort_tpu.parallel.shuffle import exchange_rows
 
     keys, aggs = st.args
+    if any(a == "median" for _, _, a in aggs):
+        # non-decomposable aggregate present: hash-exchange the RAW rows
+        # (keys + value columns) so each group's full value set lands on
+        # one device, then run the shared single-chip body per shard
+        rows = next(iter(cols.values())).shape[0]
+        valid0 = jnp.arange(rows, dtype=jnp.int32) < cnt
+        h = hash32(cols[keys[0]])
+        for k in keys[1:]:
+            h = hash32(cols[k].astype(jnp.uint32) ^ h)
+        dest = jnp.where(valid0, (h % jnp.uint32(ndev)).astype(jnp.int32),
+                         ndev)
+        need = list(dict.fromkeys(list(keys) + [v for _, v, _ in aggs]))
+        recv, rvalid = exchange_rows([cols[k] for k in need], dest, ndev,
+                                     axis_name, rows)
+        return _groupby_agg_cols(dict(zip(need, recv)), keys, aggs,
+                                 rvalid, config)
     # expand: one partial column per decomposed aggregate (arrays, so the
     # var/std decomposition can push a squared column through phase 1)
     part_arrays, part_aggs, assemble = [], [], []

@@ -383,3 +383,60 @@ def test_groupby_quantile_bf16_values(rng):
     assert int(cnt) == 1
     got = float(np.asarray(m.astype(jnp.float32))[0])
     assert abs(got - (n - 1) / 2) <= 2.0  # bf16 value rounding only
+
+
+def test_groupby_quantile_composite_keys(rng):
+    from cuda.radixsort_tpu.ops.aggregate import groupby_quantile
+    n = 2000
+    a = rng.integers(0, 4, size=n).astype(np.uint32)
+    b = rng.integers(0, 3, size=n).astype(np.uint32)
+    v = rng.integers(0, 500, size=n).astype(np.int32)
+    (ka, kb), (med,), cnt = groupby_quantile(
+        (jnp.asarray(a), jnp.asarray(b)), jnp.asarray(v), (0.5,))
+    cnt = int(cnt)
+    pairs = sorted(set(zip(a.tolist(), b.tolist())))
+    assert cnt == len(pairs)
+    for i, (pa, pb) in enumerate(pairs):
+        assert (int(np.asarray(ka)[i]), int(np.asarray(kb)[i])) == (pa, pb)
+        want = np.median(v[(a == pa) & (b == pb)])
+        np.testing.assert_allclose(float(np.asarray(med)[i]), want,
+                                   rtol=1e-6)
+
+
+def test_query_groupby_agg_with_median(mesh, rng):
+    n = 8 * 300 + 5
+    a = rng.integers(0, 7, size=n).astype(np.uint32)
+    v = rng.integers(0, 1000, size=n).astype(np.int32)
+    t = table(a=jnp.asarray(a), v=jnp.asarray(v))
+
+    def plan(t):
+        return Query(t).groupby_agg(
+            ["a"], {"s": ("v", "sum"), "md": ("v", "median"),
+                    "m": ("v", "mean")})
+
+    so, sc, _ = plan(t).run()
+    sc = int(sc)
+    uk = np.unique(a)
+    assert sc == uk.shape[0]
+    for i in range(sc):
+        u = int(np.asarray(so["a"])[i])
+        assert int(np.asarray(so["s"])[i]) == v[a == u].sum()
+        np.testing.assert_allclose(float(np.asarray(so["md"])[i]),
+                                   np.median(v[a == u]), rtol=1e-6)
+        np.testing.assert_allclose(float(np.asarray(so["m"])[i]),
+                                   v[a == u].mean(), rtol=1e-5)
+
+    do, dc, _ = plan(t).run(mesh=mesh)
+    dc = np.asarray(dc)
+    rows = np.asarray(do["a"]).shape[0] // dc.shape[0]
+    seen = 0
+    da, ds, dm = (np.asarray(do["a"]), np.asarray(do["s"]),
+                  np.asarray(do["md"]))
+    for d in range(dc.shape[0]):
+        for i in range(d * rows, d * rows + dc[d]):
+            u = int(da[i])
+            assert int(ds[i]) == v[a == u].sum()
+            np.testing.assert_allclose(float(dm[i]), np.median(v[a == u]),
+                                       rtol=1e-6)
+            seen += 1
+    assert seen == uk.shape[0]

@@ -90,7 +90,8 @@ class Query:
 
     def groupby_agg(self, keys, aggs: dict) -> "Query":
         """Multi-key, multi-aggregate group-by: `keys` is a sequence of
-        grouping columns, `aggs` maps out_name -> (value_column, agg)."""
+        grouping columns, `aggs` maps out_name -> (value_column, agg) with
+        agg in sum/count/min/max/mean/var/std/median."""
         return self._with("groupby_agg", tuple(keys),
                           tuple((n, v, a) for n, (v, a) in aggs.items()))
 

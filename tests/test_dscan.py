@@ -111,3 +111,16 @@ def test_dscan_float(mesh, rng):
         jnp.asarray(keys), jnp.asarray(vals), mesh=mesh))
     want = np.asarray(scan_by_key(jnp.asarray(keys), jnp.asarray(vals)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_dscan_tuple_axis(rng):
+    """Multi-host mesh shape: scan over a ("host", "chip") tuple axis."""
+    m2 = dsort.make_mesh_2d(2, 4)
+    n = 8 * 256
+    keys = rng.integers(0, 10, size=n).astype(np.uint32)
+    vals = rng.integers(0, 9, size=n).astype(np.int32)
+    got = np.asarray(scan_by_key_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), mesh=m2,
+        axis_name=("host", "chip")))
+    want = np.asarray(scan_by_key(jnp.asarray(keys), jnp.asarray(vals)))
+    np.testing.assert_array_equal(got, want)

@@ -65,6 +65,12 @@ def join(
 ):
     """Join probe rows against (unique-key) build rows.
 
+    build_keys / probe_keys may each be ONE array or a TUPLE of key
+    columns (composite equality key): the concatenated sides then ride a
+    lexicographic struct sort (the decomposer protocol) and group
+    boundaries compare every column. Outputs return the key columns in the
+    same single/tuple shape.
+
     Returns (keys, vals, probe_idx, count):
       keys[:count]      — probe keys that matched (key-sorted order)
       vals[:count]      — the matched build value per probe row
@@ -91,9 +97,16 @@ def join(
     if how not in ("inner", "left", "semi", "anti", "right", "full"):
         raise ValueError(how)
     cfg = config_lib.resolve(config)
-    nb, np_ = build_keys.shape[0], probe_keys.shape[0]
+    multi = isinstance(build_keys, (tuple, list))
+    bcols = tuple(build_keys) if multi else (build_keys,)
+    pcols = (tuple(probe_keys) if isinstance(probe_keys, (tuple, list))
+             else (probe_keys,))
+    if len(bcols) != len(pcols):
+        raise ValueError("build/probe key column counts differ")
+    nb, np_ = bcols[0].shape[0], pcols[0].shape[0]
 
-    keys = jnp.concatenate([build_keys, probe_keys])
+    key_cols = tuple(jnp.concatenate([b, p])
+                     for b, p in zip(bcols, pcols))
     vals = jnp.concatenate([build_vals, jnp.zeros((np_,), build_vals.dtype)])
     # ONE companion column instead of (side, vals, orig): the concat
     # position encodes side (pos < nb == build) and probe row (pos - nb);
@@ -110,20 +123,33 @@ def join(
         posflag = posflag | jnp.where(invalid, jnp.uint32(1 << 31),
                                       jnp.uint32(0))
 
-    skeys, (sposflag, svals) = _sort_pairs(keys, (posflag, vals), config=cfg)
+    if multi:
+        from cuda.radixsort_tpu.ops.sort import sort_struct as _sort_struct
+
+        skey_cols, (sposflag, svals) = _sort_struct(
+            key_cols, (posflag, vals), config=cfg)
+        skey_cols = tuple(skey_cols)
+    else:
+        sk0, (sposflag, svals) = _sort_pairs(key_cols[0], (posflag, vals),
+                                             config=cfg)
+        skey_cols = (sk0,)
+    skeys = skey_cols if multi else skey_cols[0]
     spos = (sposflag & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     sinvalid = sposflag >= jnp.uint32(1 << 31)
     sside = jnp.where(sinvalid, 2, jnp.where(spos < nb, 0, 1))
     sorig = jnp.maximum(spos - nb, 0)
 
-    sbits = twiddle.twiddle_in(skeys)
     is_build = sside == 0
     pos = jnp.arange(ntot, dtype=jnp.int32)
     # matched iff MY key group contains a build row (builds sort first in
-    # each group): group build-count from cumsums — no gathers
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sbits[1:] != sbits[:-1]]
-    )
+    # each group): group build-count from cumsums — no gathers. Group
+    # boundaries compare TWIDDLED bits per column (equality-preserving
+    # bijection — keeps same-bit-pattern NaNs in one group)
+    is_start = jnp.zeros((ntot,), bool).at[0].set(True)
+    for col in skey_cols:
+        cbits = twiddle.twiddle_in(col)
+        is_start = is_start | jnp.concatenate(
+            [jnp.zeros((1,), bool), cbits[1:] != cbits[:-1]])
     cb_incl = jnp.cumsum(is_build.astype(jnp.int32))
     cb_excl = cb_incl - is_build.astype(jnp.int32)
     cb_at_start = _fill_from_marks(is_start, cb_excl)

@@ -67,9 +67,11 @@ class Query:
         """Add a computed column (elementwise over the table)."""
         return self._with("with_column", name, fn)
 
-    def join(self, build: Table, *, on: str, value: str | None = None,
+    def join(self, build: Table, *, on, value: str | None = None,
              how: str = "inner", build_count=None) -> "Query":
-        """Join against `build[on]`. how: "inner" (brings `build[value]`
+        """Join against `build[on]`. `on` is one column name or a tuple of
+        names (composite equality key — the decomposer protocol drives the
+        underlying struct sort). how: "inner" (brings `build[value]`
         across), "left" (all rows + a bool `matched` column), "semi"/"anti"
         (existence filters — probe rows with/without a match; no value).
         `build_count` marks a compacted build side's valid prefix.
@@ -79,6 +81,7 @@ class Query:
             raise ValueError(how)
         if how in ("inner", "left", "right", "full") and value is None:
             raise ValueError(f"how={how!r} needs value=")
+        on = tuple(on) if isinstance(on, (tuple, list)) else on
         return self._with("join", build, on, value, build_count, how)
 
     def groupby(self, key: str, value: str, *, agg: str = "sum") -> "Query":
@@ -223,32 +226,45 @@ def _join_impl(cols: dict, count, st: _Stage, build_cols: dict, config):
     from cuda.radixsort_tpu.ops.join import join as join_op
 
     _, on, value, build_count, how = st.args
+    on_cols = on if isinstance(on, tuple) else (on,)
     rows = next(iter(cols.values())).shape[0]
-    bk = build_cols[on]
+    bk = tuple(build_cols[k] for k in on_cols)
+    pk = tuple(cols[k] for k in on_cols)
+    if len(on_cols) == 1:
+        bk, pk = bk[0], pk[0]
+    nb = build_cols[on_cols[0]].shape[0]
     bv = (build_cols[value] if value is not None
-          else jnp.zeros((bk.shape[0],), jnp.int32))
+          else jnp.zeros((nb,), jnp.int32))
     bvalid = (None if build_count is None else
-              jnp.arange(bk.shape[0], dtype=jnp.int32)
+              jnp.arange(nb, dtype=jnp.int32)
               < jnp.asarray(build_count, jnp.int32))
     pvalid = jnp.arange(rows, dtype=jnp.int32) < count
+
+    def key_out(ok):
+        return (dict(zip(on_cols, ok)) if len(on_cols) > 1
+                else {on_cols[0]: ok})
+
     if how in ("semi", "anti"):
-        ok, oi, cnt = join_op(bk, bv, cols[on], how=how,
+        ok, oi, cnt = join_op(bk, bv, pk, how=how,
                               build_valid=bvalid, probe_valid=pvalid,
                               config=config)
-        out = {on: ok}
+        out = key_out(ok)
     elif how in ("left", "right", "full"):
         if "matched" in cols:
             raise ValueError(f"{how} join adds a 'matched' column; rename "
                              "the probe's existing 'matched' column first")
-        ok, ov, oi, cnt, om = join_op(bk, bv, cols[on], how=how,
+        ok, ov, oi, cnt, om = join_op(bk, bv, pk, how=how,
                                       build_valid=bvalid,
                                       probe_valid=pvalid, config=config)
-        out = {on: ok, value: ov, "matched": om}
+        out = key_out(ok)
+        out[value] = ov
+        out["matched"] = om
     else:
-        ok, ov, oi, cnt = join_op(bk, bv, cols[on], how="inner",
+        ok, ov, oi, cnt = join_op(bk, bv, pk, how="inner",
                                   build_valid=bvalid, probe_valid=pvalid,
                                   config=config)
-        out = {on: ok, value: ov}
+        out = key_out(ok)
+        out[value] = ov
     fill_build = how in ("right", "full")
     for name, col in cols.items():
         if name not in out:
@@ -519,18 +535,24 @@ def _dist_join_outer(cols, cnt, st, build, ndev, axis_name, config):
     and each unmatched build row emits exactly once."""
     import jax
 
-    from cuda.radixsort_tpu.parallel.shuffle import (
-        _owner_of_keys,
-        exchange_rows,
-    )
+    from cuda.radixsort_tpu.parallel.shuffle import exchange_rows
+
+    from cuda.radixsort_tpu.ops.partition import hash32
 
     _, on, value, build_count, how = st.args
+    on_cols = on if isinstance(on, tuple) else (on,)
     rows = next(iter(cols.values())).shape[0]
     d = jax.lax.axis_index(axis_name).astype(jnp.int32)
 
+    def owner(table_cols):
+        h = hash32(table_cols[on_cols[0]])
+        for k in on_cols[1:]:
+            h = hash32(table_cols[k].astype(jnp.uint32) ^ h)
+        return (h % jnp.uint32(ndev)).astype(jnp.int32)
+
     # probe side: route whole rows to their key's hash owner
     valid0 = jnp.arange(rows, dtype=jnp.int32) < cnt
-    dest = jnp.where(valid0, _owner_of_keys(cols[on], ndev), ndev)
+    dest = jnp.where(valid0, owner(cols), ndev)
     names = list(cols)
     recv, rvalid = exchange_rows([cols[k] for k in names], dest, ndev,
                                  axis_name, rows)
@@ -540,9 +562,8 @@ def _dist_join_outer(cols, cnt, st, build, ndev, axis_name, config):
     rcnt = jnp.sum(rvalid.astype(jnp.int32))
 
     # build side is replicated: keep only MY hash-owned rows, compacted
-    bk = build[on]
-    nb = bk.shape[0]
-    mine = _owner_of_keys(bk, ndev) == d
+    nb = build[on_cols[0]].shape[0]
+    mine = owner(build) == d
     if build_count is not None:
         mine = mine & (jnp.arange(nb, dtype=jnp.int32)
                        < jnp.asarray(build_count, jnp.int32))

@@ -196,3 +196,86 @@ def test_full_join_unmatched_probe_value_zero_filled():
                                np.asarray(om)[:cnt])}
     assert rows[2] == (0, False)     # unmatched probe: zero value
     assert rows[1] == (10, False)    # unmatched build keeps its own value
+
+
+def test_composite_key_join_inner(rng):
+    nb, npr = 200, 900
+    b1 = rng.integers(0, 20, size=nb).astype(np.uint32)
+    b2 = rng.integers(0, 20, size=nb).astype(np.uint32)
+    # dedupe build pairs (FK build shape)
+    seen = {}
+    for i in range(nb):
+        seen[(int(b1[i]), int(b2[i]))] = i
+    keep = sorted(seen.values())
+    b1, b2 = b1[keep], b2[keep]
+    bv = rng.integers(0, 1000, size=len(keep)).astype(np.int32)
+    p1 = rng.integers(0, 25, size=npr).astype(np.uint32)
+    p2 = rng.integers(0, 25, size=npr).astype(np.uint32)
+    (ok1, ok2), ov, oi, cnt = join(
+        (jnp.asarray(b1), jnp.asarray(b2)), jnp.asarray(bv),
+        (jnp.asarray(p1), jnp.asarray(p2)), how="inner")
+    cnt = int(cnt)
+    lut = {(int(a), int(b)): int(v) for a, b, v in zip(b1, b2, bv)}
+    want_cnt = sum((int(a), int(b)) in lut for a, b in zip(p1, p2))
+    assert cnt == want_cnt
+    o1, o2, ovn, oin = (np.asarray(ok1)[:cnt], np.asarray(ok2)[:cnt],
+                        np.asarray(ov)[:cnt], np.asarray(oi)[:cnt])
+    for i in range(cnt):
+        assert ovn[i] == lut[(int(o1[i]), int(o2[i]))]
+        assert (int(p1[oin[i]]), int(p2[oin[i]])) == (int(o1[i]),
+                                                      int(o2[i]))
+
+
+def test_composite_key_join_full(rng):
+    b1 = np.array([1, 1, 2], np.uint32)
+    b2 = np.array([5, 6, 5], np.uint32)
+    bv = np.array([10, 20, 30], np.int32)
+    p1 = np.array([1, 2, 9], np.uint32)
+    p2 = np.array([6, 5, 9], np.uint32)
+    (ok1, ok2), ov, oi, cnt, om = join(
+        (jnp.asarray(b1), jnp.asarray(b2)), jnp.asarray(bv),
+        (jnp.asarray(p1), jnp.asarray(p2)), how="full")
+    cnt = int(cnt)
+    # probes (1,6)->20, (2,5)->30, (9,9) unmatched; build (1,5) unmatched
+    assert cnt == 4
+    got = sorted(zip(np.asarray(ok1)[:cnt].tolist(),
+                     np.asarray(ok2)[:cnt].tolist(),
+                     np.asarray(ov)[:cnt].tolist(),
+                     np.asarray(om)[:cnt].tolist()))
+    want = sorted([(1, 6, 20, True), (2, 5, 30, True), (9, 9, 0, False),
+                   (1, 5, 10, False)])
+    assert got == want
+
+
+def test_query_composite_join_single_and_distributed(mesh, rng):
+    n = 8 * 300 + 1
+    ba = np.repeat(np.arange(8, dtype=np.uint32), 8)
+    bb = np.tile(np.arange(8, dtype=np.uint32), 8)
+    bv = (ba * 100 + bb).astype(np.int32)
+    pa = rng.integers(0, 10, size=n).astype(np.uint32)
+    pb = rng.integers(0, 10, size=n).astype(np.uint32)
+    build = table(a=jnp.asarray(ba), b=jnp.asarray(bb), w=jnp.asarray(bv))
+    t = table(a=jnp.asarray(pa), b=jnp.asarray(pb))
+
+    def plan(t):
+        return Query(t).join(build, on=("a", "b"), value="w", how="inner")
+
+    so, sc, _ = plan(t).run()
+    sc = int(sc)
+    want_cnt = int(((pa < 8) & (pb < 8)).sum())
+    assert sc == want_cnt
+    for i in range(0, sc, max(1, sc // 50)):
+        a_, b_, w_ = (int(so["a"][i]), int(so["b"][i]), int(so["w"][i]))
+        assert w_ == a_ * 100 + b_
+
+    do, dc, _ = plan(t).run(mesh=mesh)
+    dc = np.asarray(dc)
+    assert int(dc.sum()) == want_cnt
+    # full outer composite, distributed: every unmatched build pair once
+    q2 = Query(t).join(build, on=("a", "b"), value="w", how="full")
+    do2, dc2, _ = q2.run(mesh=mesh)
+    dc2 = np.asarray(dc2)
+    present = set(zip(pa.tolist(), pb.tolist()))
+    n_unmatched_build = sum((int(a), int(b)) not in present
+                            for a, b in zip(ba, bb))
+    assert int(dc2.sum()) == n + n_unmatched_build

@@ -70,8 +70,17 @@ class DeviceRadixSort:
     @staticmethod
     def SortKeys(d_keys, num_items: int | None = None, begin_bit: int = 0,
                  end_bit: int | None = None, stream: Any = None, *,
-                 config=None):
+                 decomposer=None, config=None):
+        """`decomposer`: CUB's custom-type protocol (util_type.cuh:528-567)
+        — a callable mapping the key container to a tuple of arithmetic
+        columns, most significant first; the sort is then the lexicographic
+        struct sort. With a decomposer, d_keys is returned reordered as a
+        tuple of those columns."""
         keys, wrapped = _unwrap(d_keys)
+        if decomposer is not None:
+            from cuda.radixsort_tpu.ops.sort import sort_struct
+
+            return sort_struct(tuple(decomposer(keys)), config=config)
         _check_items(keys, num_items)
         out = _sort(keys, begin_bit=begin_bit, end_bit=end_bit,
                     config=config)
@@ -90,9 +99,15 @@ class DeviceRadixSort:
     @staticmethod
     def SortPairs(d_keys, d_values, num_items: int | None = None,
                   begin_bit: int = 0, end_bit: int | None = None,
-                  stream: Any = None, *, config=None):
+                  stream: Any = None, *, decomposer=None, config=None):
         keys, kw = _unwrap(d_keys)
         values, vw = _unwrap(d_values)
+        if decomposer is not None:
+            from cuda.radixsort_tpu.ops.sort import sort_struct
+
+            ok, ov = sort_struct(tuple(decomposer(keys)), values,
+                                 config=config)
+            return ok, _rewrap(ov, d_values, vw)
         _check_items(keys, num_items)
         ok, ov = _sort_pairs(keys, values, begin_bit=begin_bit,
                              end_bit=end_bit, config=config)

@@ -274,3 +274,35 @@ def sort_distributed(t: Table, key: str, *, mesh, axis_name: str = "x",
 
     return _ds(t[key], mesh=mesh, axis_name=axis_name,
                descending=descending)
+
+
+def concat_tables(tables, counts=None):
+    """UNION ALL: stack tables with the same column set. With `counts`
+    (one per table — the validity-prefix protocol), valid rows are
+    COMPACTED to the front: each table contributes rows [0, count_i) and
+    the result is (table, total_count); without counts, a plain
+    concatenation (all rows valid).
+
+    TPU-native: the compaction is one stable 1-bit partition over the
+    stacked validity mask — no ragged shapes, no host loop."""
+    import jax.numpy as jnp
+
+    tables = list(tables)
+    if not tables:
+        raise ValueError("concat_tables needs at least one table")
+    names = tables[0].column_names
+    for t in tables[1:]:
+        if t.column_names != names:
+            raise ValueError(f"column sets differ: {names} vs "
+                             f"{t.column_names}")
+    cols = {k: jnp.concatenate([t[k] for t in tables]) for k in names}
+    if counts is None:
+        return Table(cols)
+    from cuda.radixsort_tpu.ops.filter import filter_columns
+
+    masks = [jnp.arange(t.num_rows, dtype=jnp.int32)
+             < jnp.asarray(c, jnp.int32)
+             for t, c in zip(tables, counts)]
+    mask = jnp.concatenate(masks)
+    out, total = filter_columns(mask, tuple(cols[k] for k in names))
+    return Table(dict(zip(names, out))), total

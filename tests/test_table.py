@@ -134,3 +134,18 @@ def test_table_distributed():
         np.testing.assert_array_equal(jv[sl], jk[sl] * 2)
         np.testing.assert_array_equal(k[ji[sl]], jk[sl])
     assert total == int((k < nb).sum())
+
+
+def test_concat_tables():
+    from cuda.radixsort_tpu.table import concat_tables, table
+
+    a = table(x=jnp.asarray(np.array([1, 2, 3], np.int32)))
+    b = table(x=jnp.asarray(np.array([4, 5], np.int32)))
+    t = concat_tables([a, b])
+    np.testing.assert_array_equal(np.asarray(t["x"]), [1, 2, 3, 4, 5])
+    # with validity counts: tails dropped, valid rows compacted in order
+    t2, cnt = concat_tables([a, b], counts=[2, 1])
+    assert int(cnt) == 3
+    np.testing.assert_array_equal(np.asarray(t2["x"])[:3], [1, 2, 4])
+    with pytest.raises(ValueError):
+        concat_tables([a, table(y=jnp.asarray(np.array([1], np.int32)))])

@@ -80,17 +80,35 @@ class DeviceRadixSort:
         if decomposer is not None:
             from cuda.radixsort_tpu.ops.sort import sort_struct
 
-            return sort_struct(tuple(decomposer(keys)), config=config)
+            cols = tuple(decomposer(keys))
+            if begin_bit != 0 or end_bit is not None:
+                raise ValueError("decomposer sorts are full-width "
+                                 "lexicographic; begin_bit/end_bit are "
+                                 "not supported")
+            _check_items(cols[0], num_items)
+            return sort_struct(cols, config=config)
         _check_items(keys, num_items)
         out = _sort(keys, begin_bit=begin_bit, end_bit=end_bit,
                     config=config)
         return _rewrap(out, d_keys, wrapped)
 
+
     @staticmethod
     def SortKeysDescending(d_keys, num_items: int | None = None,
                            begin_bit: int = 0, end_bit: int | None = None,
-                           stream: Any = None, *, config=None):
+                           stream: Any = None, *, decomposer=None,
+                           config=None):
         keys, wrapped = _unwrap(d_keys)
+        if decomposer is not None:
+            from cuda.radixsort_tpu.ops.sort import sort_struct
+
+            cols = tuple(decomposer(keys))
+            if begin_bit != 0 or end_bit is not None:
+                raise ValueError("decomposer sorts are full-width "
+                                 "lexicographic; begin_bit/end_bit are "
+                                 "not supported")
+            _check_items(cols[0], num_items)
+            return sort_struct(cols, descending=True, config=config)
         _check_items(keys, num_items)
         out = _sort(keys, descending=True, begin_bit=begin_bit,
                     end_bit=end_bit, config=config)
@@ -105,8 +123,13 @@ class DeviceRadixSort:
         if decomposer is not None:
             from cuda.radixsort_tpu.ops.sort import sort_struct
 
-            ok, ov = sort_struct(tuple(decomposer(keys)), values,
-                                 config=config)
+            cols = tuple(decomposer(keys))
+            if begin_bit != 0 or end_bit is not None:
+                raise ValueError("decomposer sorts are full-width "
+                                 "lexicographic; begin_bit/end_bit are "
+                                 "not supported")
+            _check_items(cols[0], num_items)
+            ok, ov = sort_struct(cols, values, config=config)
             return ok, _rewrap(ov, d_values, vw)
         _check_items(keys, num_items)
         ok, ov = _sort_pairs(keys, values, begin_bit=begin_bit,
@@ -116,9 +139,22 @@ class DeviceRadixSort:
     @staticmethod
     def SortPairsDescending(d_keys, d_values, num_items: int | None = None,
                             begin_bit: int = 0, end_bit: int | None = None,
-                            stream: Any = None, *, config=None):
+                            stream: Any = None, *, decomposer=None,
+                            config=None):
         keys, kw = _unwrap(d_keys)
         values, vw = _unwrap(d_values)
+        if decomposer is not None:
+            from cuda.radixsort_tpu.ops.sort import sort_struct
+
+            cols = tuple(decomposer(keys))
+            if begin_bit != 0 or end_bit is not None:
+                raise ValueError("decomposer sorts are full-width "
+                                 "lexicographic; begin_bit/end_bit are "
+                                 "not supported")
+            _check_items(cols[0], num_items)
+            ok, ov = sort_struct(cols, values, descending=True,
+                                 config=config)
+            return ok, _rewrap(ov, d_values, vw)
         _check_items(keys, num_items)
         ok, ov = _sort_pairs(keys, values, descending=True,
                              begin_bit=begin_bit, end_bit=end_bit,

@@ -41,6 +41,23 @@ def _moments_to_var(sums, sumsqs, cnts, agg, dtype):
     return jnp.sqrt(v) if agg == "std" else v
 
 
+def _group_starts(key_cols, valid_sorted):
+    """True at each group-start row of the SORTED key columns: a new group
+    begins where ANY key column changes (or at the valid/invalid boundary,
+    so invalid rows never chain onto a real group). The single shared
+    definition — groupby_multi and the quantile path must produce the SAME
+    group set for _groupby_agg_cols's positional median alignment."""
+    n = key_cols[0].shape[0]
+    is_start = jnp.zeros((n,), bool).at[0].set(True)
+    for col in key_cols:
+        is_start = is_start | jnp.concatenate(
+            [jnp.zeros((1,), bool), col[1:] != col[:-1]])
+    if valid_sorted is not None:
+        is_start = is_start | jnp.concatenate(
+            [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]])
+    return is_start
+
+
 def _segmented_total_at_start(values, is_start, agg):
     """out[i] = reduce of i's segment, valid at segment-start rows.
 
@@ -195,13 +212,7 @@ def groupby_multi(
                                            config=cfg)
         skeys = tuple(sk)
         valid_sorted = sflag == 0
-    is_start = jnp.zeros((n,), bool).at[0].set(True)
-    for col in skeys:
-        is_start = is_start | jnp.concatenate(
-            [jnp.zeros((1,), bool), col[1:] != col[:-1]])
-    if valid_sorted is not None:
-        is_start = is_start | jnp.concatenate(
-            [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]])
+    is_start = _group_starts(skeys, valid_sorted)
     seg_counts = (_segmented_total_at_start(
         jnp.ones((n,), jnp.int32), is_start, "sum")
         if any(a in ("mean", "var", "std") for a in agg_ops) else None)
@@ -282,13 +293,7 @@ def _groupby_quantile(
                                    config=cfg)
         skeys, svals = tuple(sorted_cols[1:-1]), sorted_cols[-1]
         valid_sorted = sorted_cols[0] == 0
-    is_start = jnp.zeros((n,), bool).at[0].set(True)
-    for col in skeys:
-        is_start = is_start | jnp.concatenate(
-            [jnp.zeros((1,), bool), col[1:] != col[:-1]])
-    if valid_sorted is not None:
-        is_start = is_start | jnp.concatenate(
-            [jnp.zeros((1,), bool), valid_sorted[1:] != valid_sorted[:-1]])
+    is_start = _group_starts(skeys, valid_sorted)
     pos = jnp.arange(n, dtype=jnp.int32)
     start = jax.lax.cummax(jnp.where(is_start, pos, -1))
     cnts = _segmented_total_at_start(jnp.ones((n,), jnp.int32), is_start,

@@ -82,6 +82,18 @@ def _owner_of_keys(keys, ndev: int):
     return (hash32(keys) % jnp.uint32(ndev)).astype(jnp.int32)
 
 
+def _owner_of_key_tuple(cols, ndev: int):
+    """Hash owner of a COMPOSITE key: xor-chain the per-column mixes.
+    The single shared definition — every distributed op that localizes by
+    key tuple must route identically or rows of one group land on
+    different devices."""
+    cols = list(cols)
+    h = hash32(cols[0])
+    for c in cols[1:]:
+        h = hash32(c.astype(jnp.uint32) ^ h)
+    return (h % jnp.uint32(ndev)).astype(jnp.int32)
+
+
 def _agg_identity(agg: str, dtype):
     """Neutral element of the aggregation — rows carrying it never change a
     group's result, which is how padding/invalid rows are neutralized."""

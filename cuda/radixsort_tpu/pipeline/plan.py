@@ -117,9 +117,13 @@ class Query:
         return self._with("window", partition_by, order_by, spec,
                           descending)
 
-    def order_by(self, *keys: str, descending: bool = False) -> "Query":
+    def order_by(self, *keys: str, key: str | None = None,
+                 descending: bool = False) -> "Query":
         """Stable lexicographic sort by one or more columns (most
-        significant first); invalid tail rows stay in the tail."""
+        significant first); invalid tail rows stay in the tail. `key=` is
+        accepted for the original single-column signature."""
+        if key is not None:
+            keys = keys + (key,)
         if not keys:
             raise ValueError("order_by needs at least one column")
         return self._with("order_by", keys, descending)
@@ -306,18 +310,30 @@ def _groupby_agg_cols(cols, keys, aggs, valid, config):
 
     normal = tuple((n, v, a) for n, v, a in aggs if a != "median")
     med = tuple((n, v) for n, v, a in aggs if a == "median")
-    kc, vc, cnt = groupby_multi(
-        tuple(cols[k] for k in keys),
-        tuple(cols[v] for _, v, _ in normal),
-        tuple(a for _, _, a in normal),
-        valid=valid, config=config)
-    out = dict(zip(keys, kc))
-    out.update({n: c for (n, _, _), c in zip(normal, vc)})
+    out, cnt = {}, None
+    if normal or not med:
+        kc, vc, cnt = groupby_multi(
+            tuple(cols[k] for k in keys),
+            tuple(cols[v] for _, v, _ in normal),
+            tuple(a for _, _, a in normal),
+            valid=valid, config=config)
+        out = dict(zip(keys, kc))
+        out.update({n: c for (n, _, _), c in zip(normal, vc)})
+    # one quantile sort per DISTINCT value column (multiple medians over
+    # the same column share it); with no decomposable aggregates the
+    # first quantile call also supplies the keys and count — no extra sort
+    by_vcol = {}
     for n_, v in med:
-        _, (mcol,), _ = groupby_quantile(
+        by_vcol.setdefault(v, []).append(n_)
+    for v, names_ in by_vcol.items():
+        kq, (mcol,), cq = groupby_quantile(
             tuple(cols[k] for k in keys), cols[v], (0.5,), valid=valid,
             config=config)
-        out[n_] = mcol
+        for n_ in names_:
+            out[n_] = mcol
+        if cnt is None:
+            out.update(dict(zip(keys, kq)))
+            cnt = cq
     return out, cnt.astype(jnp.int32)
 
 
@@ -537,7 +553,7 @@ def _dist_join_outer(cols, cnt, st, build, ndev, axis_name, config):
 
     from cuda.radixsort_tpu.parallel.shuffle import exchange_rows
 
-    from cuda.radixsort_tpu.ops.partition import hash32
+    from cuda.radixsort_tpu.parallel.shuffle import _owner_of_key_tuple
 
     _, on, value, build_count, how = st.args
     on_cols = on if isinstance(on, tuple) else (on,)
@@ -545,10 +561,8 @@ def _dist_join_outer(cols, cnt, st, build, ndev, axis_name, config):
     d = jax.lax.axis_index(axis_name).astype(jnp.int32)
 
     def owner(table_cols):
-        h = hash32(table_cols[on_cols[0]])
-        for k in on_cols[1:]:
-            h = hash32(table_cols[k].astype(jnp.uint32) ^ h)
-        return (h % jnp.uint32(ndev)).astype(jnp.int32)
+        return _owner_of_key_tuple(
+            [table_cols[k] for k in on_cols], ndev)
 
     # probe side: route whole rows to their key's hash owner
     valid0 = jnp.arange(rows, dtype=jnp.int32) < cnt
@@ -579,19 +593,18 @@ def _dist_distinct(cols, cnt, st, ndev, axis_name, config):
     """Two-phase distributed dedup: local distinct, hash-of-key-tuple
     exchange of the survivors, final distinct per shard."""
     from cuda.radixsort_tpu.ops.aggregate import groupby_multi
-    from cuda.radixsort_tpu.ops.partition import hash32
-    from cuda.radixsort_tpu.parallel.shuffle import exchange_rows
+    from cuda.radixsort_tpu.parallel.shuffle import (
+        _owner_of_key_tuple,
+        exchange_rows,
+    )
 
     keys = st.args[0] or tuple(sorted(cols))
     rows = next(iter(cols.values())).shape[0]
     kc, _, c1 = groupby_multi(
         tuple(cols[k] for k in keys), (), (),
         valid=jnp.arange(rows, dtype=jnp.int32) < cnt, config=config)
-    h = hash32(kc[0])
-    for col in kc[1:]:
-        h = hash32(col.astype(jnp.uint32) ^ h)
     dest = jnp.where(jnp.arange(kc[0].shape[0], dtype=jnp.int32) < c1,
-                     (h % jnp.uint32(ndev)).astype(jnp.int32), ndev)
+                     _owner_of_key_tuple(kc, ndev), ndev)
     recv, rvalid = exchange_rows(list(kc), dest, ndev, axis_name,
                                  kc[0].shape[0])
     k2, _, c2 = groupby_multi(tuple(recv), (), (), valid=rvalid,
@@ -633,8 +646,10 @@ def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):
         _moments_to_var,
         groupby_multi,
     )
-    from cuda.radixsort_tpu.ops.partition import hash32
-    from cuda.radixsort_tpu.parallel.shuffle import exchange_rows
+    from cuda.radixsort_tpu.parallel.shuffle import (
+        _owner_of_key_tuple,
+        exchange_rows,
+    )
 
     keys, aggs = st.args
     if any(a == "median" for _, _, a in aggs):
@@ -643,11 +658,9 @@ def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):
         # one device, then run the shared single-chip body per shard
         rows = next(iter(cols.values())).shape[0]
         valid0 = jnp.arange(rows, dtype=jnp.int32) < cnt
-        h = hash32(cols[keys[0]])
-        for k in keys[1:]:
-            h = hash32(cols[k].astype(jnp.uint32) ^ h)
-        dest = jnp.where(valid0, (h % jnp.uint32(ndev)).astype(jnp.int32),
-                         ndev)
+        dest = jnp.where(
+            valid0,
+            _owner_of_key_tuple([cols[k] for k in keys], ndev), ndev)
         need = list(dict.fromkeys(list(keys) + [v for _, v, _ in aggs]))
         recv, rvalid = exchange_rows([cols[k] for k in need], dest, ndev,
                                      axis_name, rows)
@@ -680,11 +693,8 @@ def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):
         tuple(part_arrays),
         tuple(part_aggs),
         valid=jnp.arange(rows, dtype=jnp.int32) < cnt, config=config)
-    h = hash32(kc[0])
-    for col in kc[1:]:
-        h = hash32(col.astype(jnp.uint32) ^ h)
     dest = jnp.where(jnp.arange(kc[0].shape[0], dtype=jnp.int32) < c1,
-                     (h % jnp.uint32(ndev)).astype(jnp.int32), ndev)
+                     _owner_of_key_tuple(kc, ndev), ndev)
     recv, rvalid = exchange_rows(list(kc) + list(vc), dest, ndev,
                                  axis_name, kc[0].shape[0])
     nk = len(keys)

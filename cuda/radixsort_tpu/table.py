@@ -298,6 +298,8 @@ def concat_tables(tables, counts=None):
     cols = {k: jnp.concatenate([t[k] for t in tables]) for k in names}
     if counts is None:
         return Table(cols)
+    if len(counts) != len(tables):
+        raise ValueError(f"{len(counts)} counts for {len(tables)} tables")
     from cuda.radixsort_tpu.ops.filter import filter_columns
 
     masks = [jnp.arange(t.num_rows, dtype=jnp.int32)

@@ -276,3 +276,9 @@ def test_order_by_multi_column(rng):
     out2, _, _ = Query(t).order_by("a", "b", descending=True).run()
     np.testing.assert_array_equal(np.asarray(out2["a"]), a[order][::-1])
     np.testing.assert_array_equal(np.asarray(out2["b"]), b[order][::-1])
+
+
+def test_order_by_keyword_compat(rng):
+    t = table(a=jnp.asarray(np.array([3, 1, 2], np.int32)))
+    out, _, _ = Query(t).order_by(key="a").run()
+    np.testing.assert_array_equal(np.asarray(out["a"]), [1, 2, 3])

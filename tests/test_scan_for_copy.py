@@ -405,3 +405,14 @@ def test_segmented_scan_signed_sum_and_doubling(rng):
                                   "min"))
     np.testing.assert_array_equal(gmin, _oracle_scan_by_key(keys, vals,
                                                             min))
+
+
+def test_decomposer_rejects_bit_window():
+    hi = jnp.asarray(np.array([1, 0], np.uint32))
+    with pytest.raises(ValueError):
+        cub.DeviceRadixSort.SortKeys({"hi": hi}, begin_bit=8,
+                                     decomposer=lambda k: (k["hi"],))
+    # descending decomposer works
+    (s,) = cub.DeviceRadixSort.SortKeysDescending(
+        {"hi": hi}, decomposer=lambda k: (k["hi"],))
+    np.testing.assert_array_equal(np.asarray(s), [1, 0])

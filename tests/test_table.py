@@ -149,3 +149,11 @@ def test_concat_tables():
     np.testing.assert_array_equal(np.asarray(t2["x"])[:3], [1, 2, 4])
     with pytest.raises(ValueError):
         concat_tables([a, table(y=jnp.asarray(np.array([1], np.int32)))])
+
+
+def test_concat_tables_count_mismatch():
+    from cuda.radixsort_tpu.table import concat_tables, table
+
+    a = table(x=jnp.asarray(np.array([1, 2], np.int32)))
+    with pytest.raises(ValueError):
+        concat_tables([a, a, a], counts=[1, 1])

@@ -197,3 +197,44 @@ wantm = np.array([mv[mk == u].mean() for u in umk], np.float32)
 print("groupby mean on hardware correct:",
       int(gmc) == umk.shape[0] and
       np.allclose(np.asarray(gmv)[: int(gmc)], wantm, rtol=1e-6), flush=True)
+
+# outer + composite joins on hardware (session-5 continued)
+from cuda.radixsort_tpu.ops.join import join as _join
+bk10 = np.arange(1 << 16, dtype=np.uint32) * np.uint32(2)
+bv10 = (bk10 // 2).astype(np.int32)
+pk10 = rng.integers(0, 1 << 18, size=1 << 20).astype(np.uint32)
+okA, ovA, oiA, cntA, omA = _join(jnp.asarray(bk10), jnp.asarray(bv10),
+                                 jnp.asarray(pk10), how="full")
+inb10 = np.isin(pk10, bk10)
+want10 = pk10.shape[0] + int((~np.isin(bk10, pk10)).sum())
+print("full outer join on hardware correct:", int(cntA) == want10,
+      flush=True)
+
+b1c = rng.integers(0, 64, size=4096).astype(np.uint32)
+b2c = rng.integers(0, 64, size=4096).astype(np.uint32)
+seenc = {}
+for i in range(4096):
+    seenc[(int(b1c[i]), int(b2c[i]))] = i
+keepc = sorted(seenc.values())
+b1c, b2c = b1c[keepc], b2c[keepc]
+bvc = rng.integers(0, 100, size=len(keepc)).astype(np.int32)
+p1c = rng.integers(0, 64, size=1 << 18).astype(np.uint32)
+p2c = rng.integers(0, 64, size=1 << 18).astype(np.uint32)
+(okc1, okc2), ovc, oic, cntc = _join(
+    (jnp.asarray(b1c), jnp.asarray(b2c)), jnp.asarray(bvc),
+    (jnp.asarray(p1c), jnp.asarray(p2c)), how="inner")
+lutc = {(int(a), int(b)): int(v) for a, b, v in zip(b1c, b2c, bvc)}
+wantc = sum((int(a), int(b)) in lutc for a, b in zip(p1c, p2c))
+print("composite-key join on hardware correct:", int(cntc) == wantc,
+      flush=True)
+
+# quantile class on hardware
+from cuda.radixsort_tpu.ops.aggregate import groupby_quantile as _gq
+qk10 = rng.integers(0, 100, size=1 << 20).astype(np.uint32)
+qv10 = rng.integers(0, 10000, size=1 << 20).astype(np.int32)
+gkq, (q25, q50), cq = _gq(jnp.asarray(qk10), jnp.asarray(qv10),
+                          (0.25, 0.5))
+u0 = int(np.asarray(gkq)[0])
+w25 = np.quantile(qv10[qk10 == u0], 0.25)
+print("groupby_quantile on hardware correct:",
+      abs(float(np.asarray(q25)[0]) - w25) < 1e-3, flush=True)

@@ -85,3 +85,68 @@ def sort_external_pairs(
         vruns.append(np.asarray(ov))
     mk, mv = native.kway_merge_u32(kruns, vruns)
     return mk, mv.view(values.dtype)
+
+
+def sort_external_file(
+    in_path: str,
+    out_path: str,
+    *,
+    chunk: int = 1 << 27,
+    tmpdir: str | None = None,
+    config: config_lib.SortConfig | None = None,
+) -> int:
+    """Disk-spill external sort: u32 keys stored as raw little-endian
+    binary at `in_path`, ascending result written to `out_path`. Datasets
+    may exceed HOST RAM: the input is memory-mapped, each device-sorted
+    chunk spills to a temporary run file, and the native k-way merge
+    streams runs -> output through np.memmap windows (the OS page cache is
+    the working set — the same portioning idea as the reference's 2^28
+    onesweep portions, one level further out). Returns the row count.
+    """
+    import os
+    import tempfile
+
+    from cuda.radixsort_tpu.ops.sort import sort as _sort
+    from cuda.radixsort_tpu.utils import native
+
+    size = os.path.getsize(in_path)
+    if size % 4:
+        raise ValueError(f"{in_path}: size {size} is not a u32 multiple")
+    n = size // 4
+    src = np.memmap(in_path, dtype=np.uint32, mode="r")
+    if n <= chunk:
+        out = np.memmap(out_path, dtype=np.uint32, mode="w+", shape=(n,))
+        out[:] = np.asarray(_sort(jnp.asarray(np.asarray(src)),
+                                  config=config))
+        out.flush()
+        return n
+    dev_sort = jax.jit(lambda x: _sort(x, config=config), donate_argnums=0)
+    tdir = tempfile.mkdtemp(dir=tmpdir, prefix="tpusort_runs_")
+    run_paths = []
+    try:
+        for i, lo in enumerate(range(0, n, chunk)):
+            piece = jnp.asarray(np.asarray(src[lo: lo + chunk]))
+            rp = os.path.join(tdir, f"run{i:05d}.u32")
+            run = np.memmap(rp, dtype=np.uint32, mode="w+",
+                            shape=(min(chunk, n - lo),))
+            run[:] = np.asarray(dev_sort(piece))
+            run.flush()
+            del run
+            run_paths.append(rp)
+        runs = [np.memmap(rp, dtype=np.uint32, mode="r")
+                for rp in run_paths]
+        out = np.memmap(out_path, dtype=np.uint32, mode="w+", shape=(n,))
+        native.kway_merge_u32(runs, out=out)
+        out.flush()
+        del runs, out
+    finally:
+        for rp in run_paths:
+            try:
+                os.remove(rp)
+            except OSError:
+                pass
+        try:
+            os.rmdir(tdir)
+        except OSError:
+            pass
+    return n

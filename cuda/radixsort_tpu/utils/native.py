@@ -224,13 +224,15 @@ def compare_u64(a: np.ndarray, b: np.ndarray) -> int:
     return int(L.rt_compare_u64(_p64(aa), _p64(bb), aa.shape[0]))
 
 
-def kway_merge_u32(runs, vruns=None):
+def kway_merge_u32(runs, vruns=None, out=None, vout=None):
     """Stable threaded k-way merge of ascending u32 runs (the host half of
     the external sort). Equal keys keep run order (run-major), so merging
     device-sorted chunks preserves global stability.
 
     runs: list of ascending np.uint32 arrays. vruns: optional matching list
     of u32-viewable payload arrays. Returns merged keys (and payloads).
+    out / vout: optional preallocated u32 destinations (e.g. np.memmap for
+    the disk-spill external sort) — the merge writes through them.
     """
     import ctypes as ct
 
@@ -244,14 +246,28 @@ def kway_merge_u32(runs, vruns=None):
         for r, v in zip(runs, vruns):
             if v.shape[0] != r.shape[0]:
                 raise ValueError("payload run length mismatch")
+    if out is not None and (out.dtype != np.uint32 or out.shape[0] != n):
+        raise ValueError(f"out must be uint32[{n}]")
+    if vout is not None and (vout.dtype != np.uint32
+                             or vout.shape[0] != n):
+        raise ValueError(f"vout must be uint32[{n}]")
     L = lib()
     if L is None:  # pure-numpy fallback: stable argsort of the concat
         ck = np.concatenate(runs) if k else np.empty(0, np.uint32)
         perm = np.argsort(ck, kind="stable")
+        mk = ck[perm]
+        if out is not None:
+            out[:] = mk
+            mk = out
         if vruns is None:
-            return ck[perm]
-        return ck[perm], np.concatenate(vruns)[perm]
-    out = np.empty(n, np.uint32)
+            return mk
+        mv = np.concatenate(vruns)[perm] if k else np.empty(0, np.uint32)
+        if vout is not None:
+            vout[:] = mv
+            mv = vout
+        return mk, mv
+    if out is None:
+        out = np.empty(n, np.uint32)
     u32p = ct.POINTER(ct.c_uint32)
     run_ptrs = (u32p * k)(*[_p32(r) for r in runs])
     lens = (ct.c_int64 * k)(*[r.shape[0] for r in runs])
@@ -260,7 +276,8 @@ def kway_merge_u32(runs, vruns=None):
                             ct.cast(None, ct.POINTER(u32p)),
                             ct.cast(None, u32p))
         return out
-    vout = np.empty(n, np.uint32)
+    if vout is None:
+        vout = np.empty(n, np.uint32)
     vptrs = (u32p * k)(*[_p32(v) for v in vruns])
     L.rt_kway_merge_u32(run_ptrs, lens, k, n, _p32(out), vptrs, _p32(vout))
     return out, vout

@@ -60,3 +60,35 @@ def test_sort_external_pairs_stable(rng):
 def test_sort_external_rejects_wrong_dtype(rng):
     with pytest.raises(TypeError):
         sort_external(np.zeros(10, np.uint64))
+
+
+def test_sort_external_file(tmp_path):
+    from cuda.radixsort_tpu.ops.external import sort_external_file
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**32, size=300_000, dtype=np.uint64).astype(
+        np.uint32)
+    src = tmp_path / "in.u32"
+    dst = tmp_path / "out.u32"
+    keys.tofile(src)
+    n = sort_external_file(str(src), str(dst), chunk=1 << 16)
+    assert n == keys.shape[0]
+    got = np.fromfile(dst, dtype=np.uint32)
+    np.testing.assert_array_equal(got, np.sort(keys))
+    # single-chunk path
+    small = keys[:1000]
+    src2, dst2 = tmp_path / "in2.u32", tmp_path / "out2.u32"
+    small.tofile(src2)
+    assert sort_external_file(str(src2), str(dst2)) == 1000
+    np.testing.assert_array_equal(np.fromfile(dst2, dtype=np.uint32),
+                                  np.sort(small))
+
+
+def test_kway_merge_out_param():
+    from cuda.radixsort_tpu.utils import native
+
+    runs = [np.array([1, 5, 9], np.uint32), np.array([2, 5, 7], np.uint32)]
+    out = np.zeros(6, np.uint32)
+    r = native.kway_merge_u32(runs, out=out)
+    assert r is out
+    np.testing.assert_array_equal(out, [1, 2, 5, 5, 7, 9])

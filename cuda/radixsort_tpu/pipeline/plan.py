@@ -173,9 +173,12 @@ class Query:
         return "\n -> ".join(lines)
 
     # -- execution -----------------------------------------------------------
-    def run(self, *, mesh=None, axis_name: str = "x",
+    def run(self, *, mesh=None, axis_name: str = "x", timed: bool = False,
             config: config_lib.SortConfig | None = None):
-        """Execute the plan.
+        """Execute the plan. timed=True (single-chip only) additionally
+        records per-stage wall-clock "i:op:ms" entries in stats (each stage
+        blocks — use for profiling, not production; SURVEY §5 per-stage
+        observability).
 
         Single chip (mesh=None): returns (table, count, stats) — rows
         [0, count) of every column are the result; stats maps "i:op" ->
@@ -199,7 +202,19 @@ class Query:
                      else jnp.asarray(self._count, jnp.int32))
             stats: dict[str, Any] = {}
             for i, st in enumerate(self._stages):
-                t, count = _EXEC[st.op](t, count, st, config)
+                if timed:
+                    import time
+
+                    import jax
+
+                    t0 = time.perf_counter()
+                    t, count = _EXEC[st.op](t, count, st, config)
+                    jax.block_until_ready(
+                        tuple(t[k] for k in t.column_names))
+                    stats[f"{i}:{st.op}:ms"] = round(
+                        (time.perf_counter() - t0) * 1e3, 3)
+                else:
+                    t, count = _EXEC[st.op](t, count, st, config)
                 stats[f"{i}:{st.op}"] = count
             return t, count, stats
         return _run_distributed(self, mesh, axis_name, config)

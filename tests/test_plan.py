@@ -282,3 +282,13 @@ def test_order_by_keyword_compat(rng):
     t = table(a=jnp.asarray(np.array([3, 1, 2], np.int32)))
     out, _, _ = Query(t).order_by(key="a").run()
     np.testing.assert_array_equal(np.asarray(out["a"]), [1, 2, 3])
+
+
+def test_run_timed_stats(rng):
+    t = table(k=jnp.asarray(np.arange(100, dtype=np.uint32)),
+              v=jnp.asarray(np.arange(100, dtype=np.int32)))
+    out, cnt, stats = (Query(t).where(lambda t: t["v"] > 50)
+                       .groupby("k", "v", agg="sum").run(timed=True))
+    assert "0:where:ms" in stats and "1:groupby:ms" in stats
+    assert stats["0:where:ms"] >= 0
+    assert int(stats["0:where"]) == 49

@@ -150,3 +150,86 @@ def sort_external_file(
         except OSError:
             pass
     return n
+
+
+def sort_external_pairs_file(
+    keys_path: str,
+    values_path: str,
+    out_keys_path: str,
+    out_values_path: str,
+    *,
+    chunk: int = 1 << 26,
+    tmpdir: str | None = None,
+    config: config_lib.SortConfig | None = None,
+) -> int:
+    """Disk-spill stable key-value external sort (u32 keys + 4-byte
+    payload as raw binary files) — the pairs sibling of
+    `sort_external_file`: memmapped inputs, spilled (key, value) run
+    files, one streaming native merge into memmapped outputs."""
+    import os
+    import tempfile
+
+    from cuda.radixsort_tpu.ops.sort import sort_pairs as _sort_pairs
+    from cuda.radixsort_tpu.utils import native
+
+    ksize = os.path.getsize(keys_path)
+    vsize = os.path.getsize(values_path)
+    if ksize % 4 or vsize != ksize:
+        raise ValueError("keys/values files must be equal-length u32-"
+                         f"multiples (got {ksize} / {vsize} bytes)")
+    n = ksize // 4
+    ksrc = np.memmap(keys_path, dtype=np.uint32, mode="r")
+    vsrc = np.memmap(values_path, dtype=np.uint32, mode="r")
+    if n <= chunk:
+        ok, ov = _sort_pairs(jnp.asarray(np.asarray(ksrc)),
+                             jnp.asarray(np.asarray(vsrc)), config=config)
+        kout = np.memmap(out_keys_path, dtype=np.uint32, mode="w+",
+                         shape=(n,))
+        vout = np.memmap(out_values_path, dtype=np.uint32, mode="w+",
+                         shape=(n,))
+        kout[:] = np.asarray(ok)
+        vout[:] = np.asarray(ov)
+        kout.flush()
+        vout.flush()
+        return n
+    dev_sort = jax.jit(lambda k, v: _sort_pairs(k, v, config=config),
+                       donate_argnums=(0, 1))
+    tdir = tempfile.mkdtemp(dir=tmpdir, prefix="tpusort_pruns_")
+    paths = []
+    try:
+        for i, lo in enumerate(range(0, n, chunk)):
+            m = min(chunk, n - lo)
+            ok, ov = dev_sort(jnp.asarray(np.asarray(ksrc[lo: lo + m])),
+                              jnp.asarray(np.asarray(vsrc[lo: lo + m])))
+            kp = os.path.join(tdir, f"k{i:05d}.u32")
+            vp = os.path.join(tdir, f"v{i:05d}.u32")
+            for pth, arr in ((kp, ok), (vp, ov)):
+                mm = np.memmap(pth, dtype=np.uint32, mode="w+", shape=(m,))
+                mm[:] = np.asarray(arr)
+                mm.flush()
+                del mm
+            paths.append((kp, vp))
+        kruns = [np.memmap(kp, dtype=np.uint32, mode="r")
+                 for kp, _ in paths]
+        vruns = [np.memmap(vp, dtype=np.uint32, mode="r")
+                 for _, vp in paths]
+        kout = np.memmap(out_keys_path, dtype=np.uint32, mode="w+",
+                         shape=(n,))
+        vout = np.memmap(out_values_path, dtype=np.uint32, mode="w+",
+                         shape=(n,))
+        native.kway_merge_u32(kruns, vruns, out=kout, vout=vout)
+        kout.flush()
+        vout.flush()
+        del kruns, vruns, kout, vout
+    finally:
+        for kp, vp in paths:
+            for pth in (kp, vp):
+                try:
+                    os.remove(pth)
+                except OSError:
+                    pass
+        try:
+            os.rmdir(tdir)
+        except OSError:
+            pass
+    return n

@@ -92,3 +92,23 @@ def test_kway_merge_out_param():
     r = native.kway_merge_u32(runs, out=out)
     assert r is out
     np.testing.assert_array_equal(out, [1, 2, 5, 5, 7, 9])
+
+
+def test_sort_external_pairs_file(tmp_path):
+    from cuda.radixsort_tpu.ops.external import sort_external_pairs_file
+
+    rng = np.random.default_rng(8)
+    n = 150_000
+    keys = rng.integers(0, 1 << 16, size=n).astype(np.uint32)  # dup-heavy
+    vals = np.arange(n, dtype=np.uint32)
+    kp, vp = tmp_path / "k.u32", tmp_path / "v.u32"
+    ko, vo = tmp_path / "ko.u32", tmp_path / "vo.u32"
+    keys.tofile(kp)
+    vals.tofile(vp)
+    assert sort_external_pairs_file(str(kp), str(vp), str(ko), str(vo),
+                                    chunk=1 << 15) == n
+    o = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.fromfile(ko, dtype=np.uint32),
+                                  keys[o])
+    np.testing.assert_array_equal(np.fromfile(vo, dtype=np.uint32),
+                                  vals[o])

@@ -22,10 +22,39 @@ tunnel's broken block_until_ready — NOTES.md).
 
 import json
 import os
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _backend_watchdog(seconds: float | None = None):
+    """When the axon tunnel is dead, the first backend touch blocks forever
+    in make_c_api_client — print an error JSON line and hard-exit instead
+    of hanging the driver. Disarmed the moment devices enumerate."""
+    if seconds is None:
+        seconds = float(os.environ.get("BENCH_INIT_TIMEOUT", 420))
+    ok = threading.Event()
+
+    def probe():
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(seconds)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "keys_per_sec", "value": 0, "unit": "keys/s",
+            "vs_baseline": 0,
+            "error": f"backend init exceeded {seconds:.0f}s "
+                     "(tunnel unresponsive)",
+        }), flush=True)
+        os._exit(2)
+
+
+_backend_watchdog()
 
 N = int(os.environ.get("BENCH_N", 1 << 24))
 K = int(os.environ.get("BENCH_K", 8))

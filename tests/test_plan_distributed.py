@@ -1,6 +1,7 @@
 """Distributed Query execution (one shard_map over the whole plan), CPU-8."""
 
 import numpy as np
+import jax
 import pytest
 
 import jax.numpy as jnp
@@ -131,3 +132,27 @@ def test_dist_select_with_column(mesh, rng):
     # concatenation equals the oracle because shards partition the input
     # contiguously in order
     np.testing.assert_array_equal(got["y"], (x + 1)[(x + 1) % 2 == 0])
+
+
+def test_dist_plan_tuple_axis(rng):
+    """The whole-plan shard_map generalizes to a (host, chip) tuple axis —
+    multi-host meshes reuse the flat-axis machinery via host-major
+    flattening (dsort.axis_size semantics)."""
+    m2 = dsort.make_mesh_2d(2, len(jax.devices()) // 2)
+    n = 8 * 300 + 3
+    k = rng.integers(0, 23, size=n).astype(np.uint32)
+    v = rng.integers(0, 100, size=n).astype(np.int32)
+    t = table(k=jnp.asarray(k), v=jnp.asarray(v))
+    q = Query(t).where(lambda t: t["v"] > 30).groupby("k", "v", agg="sum")
+    out, counts, _ = q.run(mesh=m2, axis_name=("host", "chip"))
+    counts = np.asarray(counts)
+    rows = np.asarray(out["k"]).shape[0] // counts.shape[0]
+    mask = v > 30
+    want = {int(u): int(v[mask & (k == u)].sum())
+            for u in np.unique(k[mask])}
+    got = {}
+    kk, vv = np.asarray(out["k"]), np.asarray(out["v"])
+    for d in range(counts.shape[0]):
+        for i in range(d * rows, d * rows + counts[d]):
+            got[int(kk[i])] = int(vv[i])
+    assert got == want

@@ -98,6 +98,22 @@ class Query:
         return self._with("groupby_agg", tuple(keys),
                           tuple((n, v, a) for n, (v, a) in aggs.items()))
 
+    def quantiles(self, key: str, value: str, qs=(0.25, 0.5, 0.75), *,
+                  names=None) -> "Query":
+        """Per-group quantiles of `value` grouped by `key` (linear
+        interpolation; all qs share one sort). Output columns: key plus one
+        per q — `names` or "q25"-style defaults."""
+        qs = tuple(float(q) for q in (qs if isinstance(qs, (tuple, list))
+                                      else (qs,)))
+        if names is None:
+            names = tuple(f"q{round(q * 100)}" for q in qs)
+        names = tuple(names)
+        if len(names) != len(qs):
+            raise ValueError(f"{len(names)} names for {len(qs)} qs")
+        if len(set(names)) != len(names) or key in names:
+            raise ValueError(f"quantile output names collide: {names}")
+        return self._with("quantiles", key, value, qs, names)
+
     def distinct(self, *keys: str) -> "Query":
         """Deduplicate rows by the named columns (all columns when none
         given); output rows are the distinct key tuples, key-ascending,
@@ -155,6 +171,10 @@ class Query:
                 keys, aggs = st.args
                 lines.append(f"groupby_agg keys={list(keys)} aggs="
                              + str({n: (v, a) for n, v, a in aggs}))
+            elif st.op == "quantiles":
+                key, value, qs, names = st.args
+                lines.append(f"quantiles key={key!r} value={value!r} "
+                             f"qs={list(qs)}")
             elif st.op == "distinct":
                 ks = st.args[0]
                 lines.append("distinct" + (f" {list(ks)}" if ks else ""))
@@ -359,6 +379,18 @@ def _exec_groupby_agg(t: Table, count, st: _Stage, config):
     return Table(out), cnt
 
 
+def _exec_quantiles(t: Table, count, st: _Stage, config):
+    from cuda.radixsort_tpu.ops.aggregate import groupby_quantile
+
+    key, value, qs, names = st.args
+    gk, qcols, cnt = groupby_quantile(t[key], t[value], qs,
+                                      valid=_valid_mask(t, count),
+                                      config=config)
+    out = {key: gk}
+    out.update(zip(names, qcols))
+    return Table(out), cnt.astype(jnp.int32)
+
+
 def _exec_distinct(t: Table, count, st: _Stage, config):
     from cuda.radixsort_tpu.ops.aggregate import groupby_multi
 
@@ -407,6 +439,7 @@ _EXEC = {
     "join": _exec_join,
     "groupby": _exec_groupby,
     "groupby_agg": _exec_groupby_agg,
+    "quantiles": _exec_quantiles,
     "distinct": _exec_distinct,
     "window": _exec_window,
     "order_by": _exec_order_by,
@@ -478,6 +511,9 @@ def _run_distributed(q: Query, mesh, axis_name, config):
             elif st.op == "groupby_agg":
                 cols, cnt = _dist_groupby_agg(cols, cnt, st, ndev,
                                               axis_name, config)
+            elif st.op == "quantiles":
+                cols, cnt = _dist_quantiles(cols, cnt, st, ndev,
+                                            axis_name, config)
             elif st.op == "distinct":
                 cols, cnt = _dist_distinct(cols, cnt, st, ndev, axis_name,
                                            config)
@@ -602,6 +638,29 @@ def _dist_join_outer(cols, cnt, st, build, ndev, axis_name, config):
 
     st2 = _Stage("join", (None, on, value, bcnt, how), {})
     return _join_impl(rcols, rcnt, st2, blocal, config)
+
+
+def _dist_quantiles(cols, cnt, st, ndev, axis_name, config):
+    """Quantiles are non-decomposable: hash-exchange the raw (key, value)
+    rows so each group's full value set lands on one device, then the
+    single-chip op per shard."""
+    from cuda.radixsort_tpu.ops.aggregate import groupby_quantile
+    from cuda.radixsort_tpu.parallel.shuffle import (
+        _owner_of_keys,
+        exchange_rows,
+    )
+
+    key, value, qs, names = st.args
+    rows = next(iter(cols.values())).shape[0]
+    valid0 = jnp.arange(rows, dtype=jnp.int32) < cnt
+    dest = jnp.where(valid0, _owner_of_keys(cols[key], ndev), ndev)
+    (rk, rv), rvalid = exchange_rows([cols[key], cols[value]], dest, ndev,
+                                     axis_name, rows)
+    gk, qcols, c2 = groupby_quantile(rk, rv, qs, valid=rvalid,
+                                     config=config)
+    out = {key: gk}
+    out.update(zip(names, qcols))
+    return out, c2.astype(jnp.int32)
 
 
 def _dist_distinct(cols, cnt, st, ndev, axis_name, config):

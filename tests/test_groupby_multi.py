@@ -440,3 +440,42 @@ def test_query_groupby_agg_with_median(mesh, rng):
                                        rtol=1e-6)
             seen += 1
     assert seen == uk.shape[0]
+
+
+def test_query_quantiles_single_and_distributed(mesh, rng):
+    n = 8 * 300 + 7
+    k = rng.integers(0, 9, size=n, dtype=np.uint32)
+    v = rng.integers(0, 1000, size=n).astype(np.int32)
+    t = table(k=jnp.asarray(k), v=jnp.asarray(v))
+
+    def plan(t):
+        return (Query(t).where(lambda t: t["v"] > 100)
+                .quantiles("k", "v", (0.25, 0.5, 0.9)))
+
+    mask = v > 100
+    uk = np.unique(k[mask])
+    so, sc, _ = plan(t).run()
+    sc = int(sc)
+    assert sc == uk.shape[0]
+    assert "quantiles" in plan(t).explain()
+    for i in range(sc):
+        u = int(np.asarray(so["k"])[i])
+        grp = v[mask & (k == u)]
+        for cname, q in (("q25", 0.25), ("q50", 0.5), ("q90", 0.9)):
+            np.testing.assert_allclose(float(np.asarray(so[cname])[i]),
+                                       np.quantile(grp, q), rtol=1e-5,
+                                       atol=1e-3)
+
+    do, dc, _ = plan(t).run(mesh=mesh)
+    dc = np.asarray(dc)
+    rows = np.asarray(do["k"]).shape[0] // dc.shape[0]
+    seen = 0
+    kk = np.asarray(do["k"])
+    q50 = np.asarray(do["q50"])
+    for d in range(dc.shape[0]):
+        for i in range(d * rows, d * rows + dc[d]):
+            grp = v[mask & (k == int(kk[i]))]
+            np.testing.assert_allclose(float(q50[i]), np.median(grp),
+                                       rtol=1e-5, atol=1e-3)
+            seen += 1
+    assert seen == uk.shape[0]

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from cuda.radixsort_tpu import config as config_lib
-from cuda.radixsort_tpu import twiddle
 from cuda.radixsort_tpu.ops.sort import _key_to_limbs, _limbs_to_key, _sort_limbs
 
 

@@ -29,7 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cuda.radixsort_tpu import twiddle
 from cuda.radixsort_tpu import config as config_lib

@@ -14,7 +14,7 @@ compute, which is the exchange/compute overlap BASELINE.json asks for.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from cuda.radixsort_tpu import config as config_lib
 from cuda.radixsort_tpu.ops.filter import filter_columns
 from cuda.radixsort_tpu.ops.join import join as join_op
-from cuda.radixsort_tpu.ops.sort import sort_pairs
 from cuda.radixsort_tpu.parallel.dsort import axis_size
 
 try:

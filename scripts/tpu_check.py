@@ -238,3 +238,21 @@ u0 = int(np.asarray(gkq)[0])
 w25 = np.quantile(qv10[qk10 == u0], 0.25)
 print("groupby_quantile on hardware correct:",
       abs(float(np.asarray(q25)[0]) - w25) < 1e-3, flush=True)
+
+# Pallas segmented-scan kernel on hardware (compiled, not interpret) + timing
+from cuda.radixsort_tpu.kernels.scan import segmented_scan_pallas
+from cuda.radixsort_tpu.ops.scan import segmented_scan as _ss_xla
+n11 = 1 << 22
+v11 = rng.integers(-99, 99, size=n11).astype(np.int32)
+f11 = rng.random(n11) < 0.01
+g11 = np.asarray(segmented_scan_pallas(jnp.asarray(v11), jnp.asarray(f11)))
+w11 = np.asarray(_ss_xla(jnp.asarray(v11), jnp.asarray(f11)))
+print("pallas segmented-scan kernel correct:", np.array_equal(g11, w11),
+      flush=True)
+vj = jnp.asarray(v11)
+fj = jnp.asarray(f11)
+dtp = timed_chain(lambda x: segmented_scan_pallas(x, fj) ^ jnp.int32(1),
+                  vj, k=4)
+dtx = timed_chain(lambda x: _ss_xla(x, fj, "min") ^ jnp.int32(1), vj, k=4)
+print(f"sscan @4M: pallas {dtp*1e3:.2f} ms  xla-doubling(min) "
+      f"{dtx*1e3:.2f} ms", flush=True)

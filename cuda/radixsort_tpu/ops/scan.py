@@ -111,6 +111,7 @@ def segmented_scan(
     identity=None,
     exclusive: bool = False,
     init=None,
+    engine: str = "xla",
 ):
     """Prefix-scan ``values`` with ``op``, restarting at every True in
     ``head_flags`` (position 0 is always a segment head).
@@ -119,6 +120,11 @@ def segmented_scan(
     (optional) is combined from the left into every output element of the
     segment — for an inclusive scan this is CUB's InclusiveScanInit, for
     an exclusive scan it seeds each segment (ExclusiveScanByKey).
+
+    engine: "xla" (default; cumsum+fill / flagged-doubling, fuses with
+    neighbors) or "pallas" (kernels/scan.py one-read-one-write kernel;
+    named sum/min/max ops only — hardware routing pending measurement,
+    NOTES round-3 queue #2).
     """
     f, ident = _resolve_op(op, identity, values.dtype,
                            need_identity=exclusive)
@@ -131,11 +137,17 @@ def segmented_scan(
         shifted = jnp.concatenate([jnp.full((1,), ident, values.dtype),
                                    values[:-1]])
         values = jnp.where(flags, ident, shifted)
+    if engine == "pallas":
+        from cuda.radixsort_tpu.kernels.scan import segmented_scan_pallas
+
+        out = segmented_scan_pallas(
+            values, flags, op,
+            interpret=jax.default_backend() != "tpu")
     # sum fast path: ints only — the cumsum-difference trick subtracts two
     # GLOBAL prefixes, so float error would scale with the whole array's
     # magnitude (catastrophic cancellation near segment starts); floats
     # take the doubling path, which only ever combines within segments
-    if op == "sum" and jnp.issubdtype(values.dtype, jnp.integer):
+    elif op == "sum" and jnp.issubdtype(values.dtype, jnp.integer):
         out = _segmented_cumsum(values, flags)
     else:
         out = _segmented_doubling(values, flags, f)

@@ -58,3 +58,13 @@ def test_kernel_empty():
     e = jnp.zeros((0,), jnp.int32)
     out = segmented_scan_pallas(e, jnp.zeros((0,), bool), interpret=True)
     assert out.shape == (0,)
+
+
+def test_engine_knob_on_public_op(rng):
+    n = 9000
+    v = rng.integers(-50, 50, size=n).astype(np.int32)
+    fl = rng.random(n) < 0.02
+    a = np.asarray(segmented_scan(jnp.asarray(v), jnp.asarray(fl), "sum"))
+    b = np.asarray(segmented_scan(jnp.asarray(v), jnp.asarray(fl), "sum",
+                                  engine="pallas"))
+    np.testing.assert_array_equal(a, b)

@@ -187,7 +187,7 @@ def reduce_with(values, op, init=None, *, identity=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("op", "equality_op", "exclusive"),
+    static_argnames=("op", "equality_op", "exclusive", "engine"),
 )
 def scan_by_key(
     keys,
@@ -198,6 +198,7 @@ def scan_by_key(
     exclusive: bool = False,
     init=None,
     equality_op: Callable | None = None,
+    engine: str = "xla",
 ):
     """Scan ``values`` within runs of consecutive equal ``keys``.
 
@@ -212,4 +213,4 @@ def scan_by_key(
         return values
     heads = _head_flags(keys, n, equality_op)
     return segmented_scan(values, heads, op, identity=identity,
-                          exclusive=exclusive, init=init)
+                          exclusive=exclusive, init=init, engine=engine)

@@ -36,7 +36,8 @@ _SCAN_OP = {"cumsum": "sum", "cummin": "min", "cummax": "max"}
 
 
 @functools.partial(
-    jax.jit, static_argnames=("outputs", "descending", "config")
+    jax.jit, static_argnames=("outputs", "descending", "config",
+                              "scan_engine")
 )
 def window(
     part: jnp.ndarray,
@@ -46,6 +47,7 @@ def window(
     *,
     valid: jnp.ndarray | None = None,
     descending: bool = False,
+    scan_engine: str = "xla",
     config: config_lib.SortConfig | None = None,
 ):
     """Compute window columns over partitions of `part` ordered by `order`.
@@ -114,7 +116,8 @@ def window(
             out_cols[name] = segmented_scan(
                 peer_heads.astype(jnp.int32), heads, "sum")
         elif fn in _SCAN_OP:
-            out_cols[name] = segmented_scan(sv[src], heads, _SCAN_OP[fn])
+            out_cols[name] = segmented_scan(sv[src], heads, _SCAN_OP[fn],
+                                            engine=scan_engine)
         elif fn == "lag":
             v = sv[src]
             shifted = jnp.concatenate([v[:1], v[:-1]])
@@ -137,6 +140,7 @@ def window_table(
     *,
     valid=None,
     descending: bool = False,
+    scan_engine: str = "xla",
     config=None,
 ):
     """Shared stage body for Query.window / Table.window / the distributed
@@ -157,7 +161,7 @@ def window_table(
                if k not in (partition_by, order_by) or k in needed}
     sp, so, sv, wcols, cnt = window(
         cols[partition_by], cols[order_by], payload, spec, valid=valid,
-        descending=descending, config=config)
+        descending=descending, scan_engine=scan_engine, config=config)
     out = dict(sv)
     out[partition_by] = sp
     out[order_by] = so

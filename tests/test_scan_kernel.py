@@ -68,3 +68,21 @@ def test_engine_knob_on_public_op(rng):
     b = np.asarray(segmented_scan(jnp.asarray(v), jnp.asarray(fl), "sum",
                                   engine="pallas"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_window_scan_engine_knob(rng):
+    from cuda.radixsort_tpu.ops.window import window
+
+    n = 6000
+    part = rng.integers(0, 7, size=n).astype(np.uint32)
+    order = rng.integers(0, 1000, size=n).astype(np.uint32)
+    v = rng.integers(0, 9, size=n).astype(np.int32)
+    spec = (("cs", "v", "cumsum"), ("cmx", "v", "cummax"))
+    a = window(jnp.asarray(part), jnp.asarray(order),
+               {"v": jnp.asarray(v)}, spec)
+    b = window(jnp.asarray(part), jnp.asarray(order),
+               {"v": jnp.asarray(v)}, spec, scan_engine="pallas")
+    np.testing.assert_array_equal(np.asarray(a[3]["cs"]),
+                                  np.asarray(b[3]["cs"]))
+    np.testing.assert_array_equal(np.asarray(a[3]["cmx"]),
+                                  np.asarray(b[3]["cmx"]))

@@ -196,3 +196,186 @@ def distinct_distributed(keys: jnp.ndarray, *, mesh: Mesh, axis_name="x",
     )(out, counts)
     return (twiddle.twiddle_out(uk.reshape(-1), keys.dtype),
             ucounts.reshape(-1))
+
+
+def groupby_quantile_distributed(keys, values, qs=(0.5,), *, mesh: Mesh,
+                                 axis_name="x", max_groups: int = 64):
+    """Per-group quantiles over a sharded table — histogram refinement,
+    ZERO value movement.
+
+    The plan layer's `_dist_quantiles` hash-exchanges whole (key, value)
+    rows so each group's value set lands on one device — correct at any
+    group count, but it moves the entire table. For few-group workloads
+    (dashboards: percentiles per status code / per shard / per tenant
+    bucket) this variant generalizes `kth_value_distributed` per group: a
+    quantile is a k-th smallest within the group, and linear interpolation
+    needs the floor- and ceil-rank elements, so each (group, q) becomes two
+    independent radix-select targets refined together. Per 4-bit level the
+    only collective is one `psum` of a (targets, 16) i32 histogram — 8 tiny
+    collectives total; no key or value ever leaves its device.
+
+    The per-level masked counting rides the MXU: rows match target t iff
+    (group_id, value_high_bits) == (g_t, prefix_t), so the (chunk, targets)
+    match matrix x (chunk, 16) digit one-hot matmul yields every target's
+    histogram in one contraction (f32 accumulate is exact: counts per chunk
+    <= chunk size < 2^24).
+
+    Requires: total distinct groups <= max_groups (each shard's local
+    distinct set is a subset, so one padded all_gather of G keys suffices);
+    <=32-bit key and value dtypes. Returns replicated
+    (group_keys (G,), quantile_cols tuple of (G,) mean-dtype arrays,
+    n_groups) — valid groups are the first n_groups entries, key-ascending;
+    `n_groups > max_groups` signals truncation (quantile columns are then
+    only trustworthy for the first max_groups key-smallest groups).
+    """
+    if isinstance(qs, (int, float)):
+        qs = (float(qs),)
+    return _groupby_quantile_distributed(keys, values, tuple(qs), mesh=mesh,
+                                         axis_name=axis_name,
+                                         max_groups=max_groups)
+
+
+@functools.partial(jax.jit, static_argnames=("qs", "mesh", "axis_name",
+                                             "max_groups"))
+def _groupby_quantile_distributed(keys, values, qs, *, mesh, axis_name,
+                                  max_groups):
+    from cuda.radixsort_tpu.ops.aggregate import _mean_dtype
+    from cuda.radixsort_tpu.ops.unique import _run_starts
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    if twiddle.bit_width(keys.dtype) > 32 or twiddle.bit_width(
+            values.dtype) > 32:
+        raise NotImplementedError(
+            "groupby_quantile_distributed: <=32-bit keys and values")
+    G, Q = max_groups, len(qs)
+    T = G * Q * 2
+    ndev = axis_size(mesh, axis_name)
+    n = keys.shape[0]
+    md0 = _mean_dtype(values.dtype)
+    if n == 0:
+        return (jnp.zeros((G,), keys.dtype),
+                tuple(jnp.zeros((G,), md0) for _ in qs),
+                jnp.zeros((), jnp.int32))
+    s = -(-n // ndev)
+    pad = s * ndev - n
+    kbits = twiddle.twiddle_in(keys).astype(jnp.uint32)
+    vbits = twiddle.twiddle_in(values).astype(jnp.uint32)
+    if pad:
+        kbits = jnp.concatenate([kbits, jnp.zeros((pad,), jnp.uint32)])
+        vbits = jnp.concatenate([vbits, jnp.zeros((pad,), jnp.uint32)])
+    md = _mean_dtype(values.dtype)
+    # row chunks for the match-matrix matmul: (C, T) + (C, 16) live at once
+    C = min(s, 32768)
+    nc = -(-s // C)
+    spad = nc * C - s
+
+    def _distinct_padded(bits, invalid):
+        """First G distinct values of `bits` (rows with invalid=True
+        excluded), ascending, plus per-slot validity. Invalidity rides a
+        separate sort limb — no sentinel bit pattern is reserved."""
+        flag = invalid.astype(jnp.uint32)
+        sf, sb = jax.lax.sort((flag, bits), num_keys=2)
+        starts = _run_starts(sb) & (sf == 0)
+        # first occurrence of a run may be an invalid row shadowing a real
+        # equal key later: runs are (flag-major) sorted, so a run that has
+        # any valid row starts with one — starts & valid is exact.
+        order = jnp.argsort(jnp.logical_not(starts), stable=True)
+        kept = jnp.take(sb, order)
+        cnt = jnp.sum(starts.astype(jnp.int32))
+        slot = jnp.arange(G, dtype=jnp.int32)
+        slotvalid = slot < jnp.minimum(cnt, G)
+        # compaction's tail holds non-start rows (duplicate SMALL keys
+        # first) — force pads to the max bit pattern so the slot array
+        # stays ascending for searchsorted; 'left' still resolves a real
+        # 0xFFFFFFFF group to its (earlier) valid slot.
+        padded = jnp.where(slotvalid, kept[:G], jnp.uint32(0xFFFFFFFF))
+        return padded, slotvalid, cnt
+
+    def shard_fn(kb, vb):
+        kb, vb = kb.reshape(-1), vb.reshape(-1)
+        valid = _shard_valid(n, s, axis_name)
+        # --- replicated global group-key set (<= G per the contract) ---
+        lk, lval, _ = _distinct_padded(kb, jnp.logical_not(valid))
+        ak = jax.lax.all_gather(lk, axis_name, tiled=True)
+        av = jax.lax.all_gather(lval, axis_name, tiled=True)
+        gk, gvalid, gcnt = _distinct_padded(ak, jnp.logical_not(av))
+        # gk is ascending over its valid prefix; pads sort after every real
+        # key (flag-major), so searchsorted('left') lands on the real slot
+        # even for a key equal to a pad's bit pattern.
+        gid = jnp.searchsorted(gk, kb, side="left").astype(jnp.int32)
+        gid = jnp.clip(gid, 0, G - 1)
+        cnt = jnp.zeros((G,), jnp.int32).at[gid].add(
+            valid.astype(jnp.int32), mode="drop")
+        cnt = jax.lax.psum(cnt, axis_name)
+
+        # --- targets: for each q, each group, the floor and ceil ranks ---
+        cntf = jnp.maximum(cnt - 1, 0).astype(jnp.float32)
+        klo, khi, fracs = [], [], []
+        for q in qs:
+            idx_f = cntf * jnp.float32(q)
+            lo = jnp.floor(idx_f).astype(jnp.int32)
+            klo.append(lo)
+            khi.append(jnp.ceil(idx_f).astype(jnp.int32))
+            fracs.append(idx_f - lo.astype(jnp.float32))
+        kk = jnp.concatenate(klo + khi)              # (T,) = (Q*G + Q*G,)
+        g_t = jnp.tile(jnp.arange(G, dtype=jnp.int32), 2 * Q)
+
+        # --- chunked rows for the per-level MXU counting ---
+        vb_c = jnp.concatenate([vb, jnp.zeros((spad,), jnp.uint32)])
+        gid_c = jnp.concatenate([gid, jnp.zeros((spad,), jnp.int32)])
+        val_c = jnp.concatenate([valid, jnp.zeros((spad,), bool)])
+        vb_c = vb_c.reshape(nc, C)
+        gid_c = gid_c.reshape(nc, C)
+        val_c = val_c.reshape(nc, C)
+        digits16 = jnp.arange(16, dtype=jnp.uint32)
+
+        prefix = jnp.zeros((T,), jnp.uint32)
+        for level in range(28, -1, -4):
+            shift = jnp.uint32(level)
+            himask = jnp.uint32((0xFFFFFFFF << (level + 4)) & 0xFFFFFFFF
+                                if level + 4 < 32 else 0)
+
+            def body(hist, chunk):
+                cv, cg, cval = chunk
+                hi = cv & himask
+                digit = (cv >> shift) & jnp.uint32(15)
+                match = ((cg[:, None] == g_t[None, :])
+                         & (hi[:, None] == prefix[None, :])
+                         & cval[:, None])                      # (C, T)
+                onehot = (digit[:, None] == digits16[None, :])  # (C, 16)
+                hist = hist + jnp.dot(
+                    match.astype(jnp.float32).T,
+                    onehot.astype(jnp.float32)).astype(jnp.int32)
+                return hist, None
+
+            hist, _ = jax.lax.scan(body, jnp.zeros((T, 16), jnp.int32),
+                                   (vb_c, gid_c, val_c))
+            hist = jax.lax.psum(hist, axis_name)
+            cum = jnp.cumsum(hist, axis=1) - hist
+            bucket = jnp.sum((cum <= kk[:, None]).astype(jnp.int32),
+                             axis=1) - 1
+            bucket = jnp.clip(bucket, 0, 15)
+            kk = kk - jnp.take_along_axis(cum, bucket[:, None],
+                                          axis=1)[:, 0]
+            prefix = prefix | (bucket.astype(jnp.uint32) << shift)
+
+        # --- assemble: lerp the floor/ceil selections per (q, group) ---
+        sel = prefix.reshape(2, Q, G)                # [lo/hi][q][g]
+        qcols = []
+        for qi in range(Q):
+            vlo = twiddle.twiddle_out(sel[0, qi], values.dtype).astype(md)
+            vhi = twiddle.twiddle_out(sel[1, qi], values.dtype).astype(md)
+            f = fracs[qi].astype(md)
+            col = vlo * (1 - f) + vhi * f
+            qcols.append(jnp.where(gvalid & (cnt > 0), col,
+                                   jnp.zeros((), md)).reshape(1, G))
+        return (gk.reshape(1, G), jnp.stack(qcols, 0),
+                gcnt.reshape(1))
+
+    gk, qstack, gcnt = shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P()), check_vma=False)(kbits, vbits)
+    gkeys = twiddle.twiddle_out(gk[0], keys.dtype)
+    return gkeys, tuple(qstack[q, 0] for q in range(len(qs))), gcnt[0]

@@ -105,3 +105,75 @@ def test_distinct_distributed_signed(mesh, rng):
     got = np.concatenate([uk.reshape(-1, rows)[d, : counts[d]]
                           for d in range(counts.shape[0])])
     np.testing.assert_array_equal(got, np.unique(x))
+
+
+def _np_group_quantiles(keys, values, qs):
+    gk = np.unique(keys)
+    out = {q: np.array([np.quantile(values[keys == g].astype(np.float64), q)
+                        for g in gk]) for q in qs}
+    return gk, out
+
+
+@pytest.mark.parametrize("n,ng", [(8 * 1024, 7), (6007, 1), (4096, 13)])
+def test_groupby_quantile_distributed(mesh, rng, n, ng):
+    keys = rng.integers(0, ng, size=n, dtype=np.uint32) * 3 + 1
+    vals = rng.integers(0, 100000, size=n, dtype=np.uint32)
+    gk, qcols, cnt = dselect.groupby_quantile_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), qs=(0.0, 0.5, 1.0),
+        mesh=mesh, max_groups=16)
+    cnt = int(cnt)
+    ok, oq = _np_group_quantiles(keys, vals, (0.0, 0.5, 1.0))
+    assert cnt == len(ok)
+    np.testing.assert_array_equal(np.asarray(gk)[:cnt], ok)
+    for q, col in zip((0.0, 0.5, 1.0), qcols):
+        np.testing.assert_allclose(np.asarray(col)[:cnt], oq[q],
+                                   rtol=1e-6)
+
+
+def test_groupby_quantile_distributed_float_vals_signed_keys(mesh, rng):
+    keys = rng.integers(-4, 4, size=5000).astype(np.int32)
+    vals = rng.normal(size=5000).astype(np.float32)
+    gk, qcols, cnt = dselect.groupby_quantile_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), qs=(0.25, 0.75),
+        mesh=mesh, max_groups=8)
+    cnt = int(cnt)
+    ok, oq = _np_group_quantiles(keys, vals, (0.25, 0.75))
+    assert cnt == len(ok)
+    np.testing.assert_array_equal(np.asarray(gk)[:cnt], ok)
+    for q, col in zip((0.25, 0.75), qcols):
+        np.testing.assert_allclose(np.asarray(col)[:cnt], oq[q],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_groupby_quantile_distributed_matches_single_chip(mesh, rng):
+    from cuda.radixsort_tpu.ops.aggregate import groupby_quantile
+
+    keys = rng.integers(0, 5, size=4099, dtype=np.uint32)
+    vals = rng.integers(0, 1000, size=4099, dtype=np.uint32)
+    gk, qcols, cnt = dselect.groupby_quantile_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), qs=(0.5,), mesh=mesh,
+        max_groups=8)
+    lk, lq, lcnt = groupby_quantile(jnp.asarray(keys), jnp.asarray(vals),
+                                    qs=(0.5,))
+    cnt = int(cnt)
+    assert cnt == int(lcnt)
+    np.testing.assert_array_equal(np.asarray(gk)[:cnt],
+                                  np.asarray(lk)[:cnt])
+    np.testing.assert_allclose(np.asarray(qcols[0])[:cnt],
+                               np.asarray(lq[0])[:cnt], rtol=1e-6)
+
+
+def test_groupby_quantile_distributed_extreme_key_bits(mesh, rng):
+    # a real group whose twiddled key equals the pad bit pattern
+    keys = np.where(rng.random(4096) < 0.3, np.uint32(0xFFFFFFFF),
+                    np.uint32(5)).astype(np.uint32)
+    vals = rng.integers(0, 100, size=4096, dtype=np.uint32)
+    gk, qcols, cnt = dselect.groupby_quantile_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), qs=(0.5,), mesh=mesh,
+        max_groups=4)
+    cnt = int(cnt)
+    ok, oq = _np_group_quantiles(keys, vals, (0.5,))
+    assert cnt == len(ok)
+    np.testing.assert_array_equal(np.asarray(gk)[:cnt], ok)
+    np.testing.assert_allclose(np.asarray(qcols[0])[:cnt], oq[0.5],
+                               rtol=1e-6)

@@ -19,8 +19,9 @@ carry; the carry out of a row is its (adjusted) last element, which by
 segmented-scan semantics is exactly the accumulation of the run still open
 at the row boundary.
 
-Hardware-verified (tpu_check segmented-scan check); interpret-mode twin
-runs in CPU CI (tests/test_scan_kernel.py).
+Interpret-mode twin runs in CPU CI (tests/test_scan_kernel.py); hardware
+status: see the committed hw_recheck.log / tpu_check
+``pallas_segmented_scan_kernel`` line for the latest chip run.
 """
 
 from __future__ import annotations

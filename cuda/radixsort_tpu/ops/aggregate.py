@@ -58,32 +58,39 @@ def _group_starts(key_cols, valid_sorted):
     return is_start
 
 
+def _segment_end_pos(is_start):
+    """end_pos[i] = last row of i's segment: forward-fill of end positions
+    on the reversed axis (reversed positions increase toward earlier
+    rows) — two elementwise passes, no gather."""
+    n = is_start.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+    filled_rev = jax.lax.cummax(
+        jnp.where(is_end[::-1], pos, -1))  # pos is the REVERSED index
+    return (n - 1) - filled_rev[::-1]
+
+
 def _segmented_total_at_start(values, is_start, agg):
     """out[i] = reduce of i's segment, valid at segment-start rows.
 
-    Built from compact primitives only — jax.lax.associative_scan fails to
-    compile at >=2^21 elements through this backend's remote-compile path
-    (ops/join.py note). sum/count: prefix sums + a segment-end position
-    fill (reversed cummax) + one gather. min/max: segment_min/max
-    scatter-reduce + one gather."""
-    n = values.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    if agg in ("sum", "count"):
-        cs = jnp.cumsum(values)
-        exc = cs - values
-        is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
-        # end_pos[i] = smallest j >= i with is_end[j]: forward-fill on the
-        # reversed axis (reversed positions increase toward earlier rows)
-        filled_rev = jax.lax.cummax(
-            jnp.where(is_end[::-1], pos, -1)  # pos is the REVERSED index
-        )
-        end_pos = (n - 1) - filled_rev[::-1]
-        return jnp.take(cs, end_pos, axis=0) - exc
-    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    red = (jax.ops.segment_min if agg == "min" else jax.ops.segment_max)(
-        values, seg, num_segments=n, indices_are_sorted=True
-    )
-    return jnp.take(red, seg, axis=0)
+    Gather-free (r3 rewrite): the XLA elementwise gather runs at
+    ~0.11 G rows/s on this TPU (NOTES) and dominated groupby/quantile.
+    count is pure position arithmetic (end_pos - pos + 1 at start rows);
+    sum/min/max ride a REVERSED segmented scan — an inclusive scan of the
+    flipped array restarting at flipped segment ENDS accumulates each
+    segment back-to-front, so the original start row holds the full
+    total. segmented_scan auto-routes to the one-read-one-write Pallas
+    kernel on TPU (kernels/scan.py)."""
+    from cuda.radixsort_tpu.ops.scan import segmented_scan
+
+    if agg == "count":
+        n = is_start.shape[0]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        return _segment_end_pos(is_start) - pos + 1
+    op = "sum" if agg == "sum" else agg
+    is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+    rev = segmented_scan(values[::-1], is_end[::-1], op)
+    return rev[::-1]
 
 
 @functools.partial(jax.jit, static_argnames=("agg", "config"))
@@ -143,8 +150,7 @@ def groupby(
     if agg in ("mean", "var", "std"):
         md = _mean_dtype(svals.dtype)
         sums = _segmented_total_at_start(svals, is_start, "sum")
-        cnts = _segmented_total_at_start(
-            jnp.ones((n,), jnp.int32), is_start, "sum")
+        cnts = _segmented_total_at_start(None, is_start, "count")
         if agg == "mean":
             totals = sums.astype(md) / cnts.astype(md)
         else:
@@ -213,9 +219,9 @@ def groupby_multi(
         skeys = tuple(sk)
         valid_sorted = sflag == 0
     is_start = _group_starts(skeys, valid_sorted)
-    seg_counts = (_segmented_total_at_start(
-        jnp.ones((n,), jnp.int32), is_start, "sum")
-        if any(a in ("mean", "var", "std") for a in agg_ops) else None)
+    seg_counts = (_segmented_total_at_start(None, is_start, "count")
+                  if any(a in ("mean", "var", "std") for a in agg_ops)
+                  else None)
 
     def _total(sv, a):
         if a in ("mean", "var", "std"):
@@ -226,8 +232,7 @@ def groupby_multi(
             sq = sv.astype(md) * sv.astype(md)
             ssq = _segmented_total_at_start(sq, is_start, "sum")
             return _moments_to_var(s, ssq, seg_counts, a, sv.dtype)
-        return _segmented_total_at_start(sv, is_start,
-                                         "sum" if a == "count" else a)
+        return _segmented_total_at_start(sv, is_start, a)
 
     totals = tuple(_total(sv, a) for sv, a in zip(svals, agg_ops))
     keep = is_start if valid_sorted is None else (is_start & valid_sorted)
@@ -296,21 +301,34 @@ def _groupby_quantile(
     is_start = _group_starts(skeys, valid_sorted)
     pos = jnp.arange(n, dtype=jnp.int32)
     start = jax.lax.cummax(jnp.where(is_start, pos, -1))
-    cnts = _segmented_total_at_start(jnp.ones((n,), jnp.int32), is_start,
-                                     "sum")
+    # gather-free selection (r3): rank-in-segment and segment size are
+    # pure position arithmetic, valid at EVERY row; the quantile's floor/
+    # ceil-rank rows are marked in place and their values transported back
+    # to the segment-start row by a reversed segmented max (exactly one
+    # marked row per segment) — the former jnp.take formulation paid
+    # ~0.11 G rows/s per full-length TPU gather (2 per q + 1 for counts:
+    # 262 ms @4M; this path measures in the tens of ms).
+    r = pos - start
+    cnt_row = _segment_end_pos(is_start) - start + 1
     md = _mean_dtype(values.dtype)
     sv = svals.astype(md)
+    if jnp.issubdtype(md, jnp.floating):
+        miss = jnp.asarray(-jnp.inf, md)
+    else:
+        miss = jnp.asarray(jnp.iinfo(md).min, md)
     qcols = []
     for q in qs:
         # index math ALWAYS in f32: a low-precision value dtype (bf16/f16
         # mean dtype) would round (cnt-1)*q to the wrong element for large
         # groups; only the final lerp runs in the value's mean dtype
-        idx_f = (cnts - 1).astype(jnp.float32) * jnp.float32(q)
-        lo = jnp.clip(jnp.floor(idx_f).astype(jnp.int32), 0, n - 1)
-        hi = jnp.clip(jnp.ceil(idx_f).astype(jnp.int32), 0, n - 1)
+        idx_f = (cnt_row - 1).astype(jnp.float32) * jnp.float32(q)
+        lo = jnp.floor(idx_f).astype(jnp.int32)
+        hi = jnp.ceil(idx_f).astype(jnp.int32)
         frac = (idx_f - lo.astype(jnp.float32)).astype(md)
-        vlo = jnp.take(sv, jnp.clip(start + lo, 0, n - 1), axis=0)
-        vhi = jnp.take(sv, jnp.clip(start + hi, 0, n - 1), axis=0)
+        vlo = _segmented_total_at_start(
+            jnp.where(r == lo, sv, miss), is_start, "max")
+        vhi = _segmented_total_at_start(
+            jnp.where(r == hi, sv, miss), is_start, "max")
         qcols.append(vlo * (1 - frac) + vhi * frac)
     keep = is_start if valid_sorted is None else (is_start & valid_sorted)
     cols, count = _filter_columns(keep, skeys + tuple(qcols),

@@ -47,7 +47,7 @@ def window(
     *,
     valid: jnp.ndarray | None = None,
     descending: bool = False,
-    scan_engine: str = "xla",
+    scan_engine: str = "auto",
     config: config_lib.SortConfig | None = None,
 ):
     """Compute window columns over partitions of `part` ordered by `order`.
@@ -140,7 +140,7 @@ def window_table(
     *,
     valid=None,
     descending: bool = False,
-    scan_engine: str = "xla",
+    scan_engine: str = "auto",
     config=None,
 ):
     """Shared stage body for Query.window / Table.window / the distributed

@@ -224,9 +224,12 @@ def groupby_quantile_distributed(keys, values, qs=(0.5,), *, mesh: Mesh,
     distinct set is a subset, so one padded all_gather of G keys suffices);
     <=32-bit key and value dtypes. Returns replicated
     (group_keys (G,), quantile_cols tuple of (G,) mean-dtype arrays,
-    n_groups) — valid groups are the first n_groups entries, key-ascending;
-    `n_groups > max_groups` signals truncation (quantile columns are then
-    only trustworthy for the first max_groups key-smallest groups).
+    n_groups) — valid groups are the first min(n_groups, max_groups)
+    entries, key-ascending. `n_groups > max_groups` RELIABLY signals
+    truncation (any shard whose local distinct count exceeds max_groups
+    raises the reported count past max_groups); the kept slots are the
+    max_groups key-smallest groups and their quantiles are exact — rows of
+    dropped groups are masked out of every count and histogram.
     """
     if isinstance(qs, (int, float)):
         qs = (float(qs),)
@@ -297,15 +300,27 @@ def _groupby_quantile_distributed(keys, values, qs, *, mesh, axis_name,
         kb, vb = kb.reshape(-1), vb.reshape(-1)
         valid = _shard_valid(n, s, axis_name)
         # --- replicated global group-key set (<= G per the contract) ---
-        lk, lval, _ = _distinct_padded(kb, jnp.logical_not(valid))
+        lk, lval, lcnt = _distinct_padded(kb, jnp.logical_not(valid))
         ak = jax.lax.all_gather(lk, axis_name, tiled=True)
         av = jax.lax.all_gather(lval, axis_name, tiled=True)
         gk, gvalid, gcnt = _distinct_padded(ak, jnp.logical_not(av))
+        # overflow detection: any shard whose LOCAL distinct count exceeds
+        # G truncated candidates before the gather, so groups beyond the G
+        # key-smallest may be missing or partial (every one of the G
+        # globally-smallest keys survives local truncation: on any shard
+        # holding it, fewer than G local keys precede it). Report
+        # n_groups > G reliably in that case.
+        over = jax.lax.psum((lcnt > G).astype(jnp.int32), axis_name) > 0
+        n_groups = jnp.where(over, jnp.maximum(gcnt, G + 1), gcnt)
         # gk is ascending over its valid prefix; pads sort after every real
         # key (flag-major), so searchsorted('left') lands on the real slot
         # even for a key equal to a pad's bit pattern.
         gid = jnp.searchsorted(gk, kb, side="left").astype(jnp.int32)
         gid = jnp.clip(gid, 0, G - 1)
+        # rows whose key is NOT in the kept slot set (dropped beyond-G
+        # groups) must not be counted into the slot searchsorted clips
+        # them to — the r2 silent-corruption bug (ADVICE finding).
+        valid = valid & (jnp.take(gk, gid, axis=0) == kb)
         cnt = jnp.zeros((G,), jnp.int32).at[gid].add(
             valid.astype(jnp.int32), mode="drop")
         cnt = jax.lax.psum(cnt, axis_name)
@@ -372,7 +387,7 @@ def _groupby_quantile_distributed(keys, values, qs, *, mesh, axis_name,
             qcols.append(jnp.where(gvalid & (cnt > 0), col,
                                    jnp.zeros((), md)).reshape(1, G))
         return (gk.reshape(1, G), jnp.stack(qcols, 0),
-                gcnt.reshape(1))
+                n_groups.reshape(1))
 
     gk, qstack, gcnt = shard_map(
         shard_fn, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),

@@ -46,6 +46,13 @@ def exchange_rows(columns, dest, ndev: int, axis_name: str, cap: int):
     Returns (received_columns, valid_mask): each (ndev*cap,) with rows from
     source device d in slice [d*cap, (d+1)*cap) and valid_mask marking real
     rows. Rows keep (source device, original order) — deterministic.
+
+    cap must cover every send lane (the sized protocols measure it
+    exactly). If any source's per-destination count exceeds cap, the
+    overflow is LOUD, not a silent row drop (the r2 weakness): a
+    debug-print names the offending max count, and the received validity
+    is poisoned to all-False mesh-wide (one scalar psum) so downstream
+    results are obviously empty rather than subtly short.
     """
     s = dest.shape[0]
     pos = jnp.arange(s, dtype=jnp.uint32)
@@ -64,9 +71,20 @@ def exchange_rows(columns, dest, ndev: int, axis_name: str, cap: int):
     valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
     gidx = jnp.where(valid, jnp.clip(idx, 0, s - 1), 0).reshape(-1)
 
+    maxc = jnp.max(counts)
+    jax.lax.cond(
+        maxc > cap,
+        lambda m: jax.debug.print(
+            "exchange_rows OVERFLOW: max send count {m} > cap "
+            + str(cap) + " — results poisoned to empty", m=m),
+        lambda m: None,
+        maxc)
+    over_any = jax.lax.psum((maxc > cap).astype(jnp.int32), axis_name) > 0
+
     recv_valid = jax.lax.all_to_all(
         valid.reshape(ndev, cap), axis_name, split_axis=0, concat_axis=0
     ).reshape(-1)
+    recv_valid = recv_valid & jnp.logical_not(over_any)
     out = []
     for c in columns:
         send = jnp.where(

@@ -26,8 +26,14 @@ class ExchangeStats(NamedTuple):
 
     rows_in:  (ndev,) int32 — valid input rows contributed per source shard.
     rows_out: (ndev,) int32 — valid result rows owned per destination shard.
-    wire_bytes: (ndev,) int32 — bytes each device put on the interconnect
-        (padded send lanes to OTHER devices; the self-lane stays local).
+    wire_bytes: (ndev,) float32 — bytes each device put on the interconnect.
+        This is the PADDED-LANE UPPER BOUND ((ndev-1) send lanes of `cap`
+        rows each; the self-lane stays local) even when exact send counts
+        are known — it is what the all_to_all physically moves. float32,
+        not int: int32 overflows at pod-scale caps (2^27 rows x 8 B x 7
+        peers ~ 7.5 GB > 2^31), and int64 silently truncates to int32 on
+        this backend with x64 disabled (NOTES gotcha); f32 is exact to
+        16 MB and within 1/2^24 above — observability-grade.
     cap: int32 — the static lane capacity the exchange ran with.
     cap_utilization: float32 — max send-lane occupancy / cap (1.0 == the
         sized exchange is tight; ~0 == the default full-shard cap is wasteful).
@@ -59,13 +65,13 @@ def shard_stats(send_counts, rows_out, cap: int, ndev: int, axis_name: str,
     """
     skew_ndev = ndev if skew_ndev is None else skew_ndev
     rows_out = jnp.asarray(rows_out, jnp.int32)
+    # static Python-int product BEFORE array conversion (no i32 overflow)
+    wire = jnp.asarray(float((ndev - 1) * cap * bytes_per_row), jnp.float32)
     if send_counts is None:
         rows_in = rows_out
-        wire = jnp.asarray((ndev - 1) * cap * bytes_per_row, jnp.int32)
         util = jnp.float32(1.0)
     else:
         rows_in = jnp.sum(send_counts).astype(jnp.int32)
-        wire = jnp.asarray((ndev - 1) * cap * bytes_per_row, jnp.int32)
         util = jnp.max(send_counts).astype(jnp.float32) / jnp.float32(cap)
     # skew over the mesh: psum of rows_out gives the total; pmax the max
     total = jax.lax.psum(rows_out, axis_name)
@@ -103,10 +109,12 @@ def describe(stats: ExchangeStats) -> str:
 
     ri = np.asarray(stats.rows_in)
     ro = np.asarray(stats.rows_out)
-    wb = int(np.asarray(stats.wire_bytes).sum())
+    wb = float(np.asarray(stats.wire_bytes).sum())
+    util = float(stats.cap_utilization)
+    over = "  !!OVERFLOW(rows dropped)" if util > 1.0 else ""
     return (
         f"rows_in={int(ri.sum())} rows_out={int(ro.sum())} "
         f"per_dev_out={ro.tolist()} wire_MB={wb / 1e6:.2f} "
-        f"cap={int(stats.cap)} util={float(stats.cap_utilization):.2f} "
-        f"skew={float(stats.skew):.2f}"
+        f"cap={int(stats.cap)} util={util:.2f} "
+        f"skew={float(stats.skew):.2f}{over}"
     )

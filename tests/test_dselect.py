@@ -177,3 +177,19 @@ def test_groupby_quantile_distributed_extreme_key_bits(mesh, rng):
     np.testing.assert_array_equal(np.asarray(gk)[:cnt], ok)
     np.testing.assert_allclose(np.asarray(qcols[0])[:cnt], oq[0.5],
                                rtol=1e-6)
+
+def test_groupby_quantile_distributed_overflow_groups(mesh, rng):
+    # 12 distinct groups, max_groups=8: truncation must be REPORTED
+    # (n_groups > max_groups) and the 8 key-smallest groups must stay
+    # exact — rows of dropped groups may not corrupt kept slots
+    # (the r2 silent-corruption bug: searchsorted clipped them in).
+    keys = rng.integers(0, 12, size=6000).astype(np.uint32) * 7 + 2
+    vals = rng.integers(0, 100000, size=6000).astype(np.uint32)
+    gk, qcols, cnt = dselect.groupby_quantile_distributed(
+        jnp.asarray(keys), jnp.asarray(vals), qs=(0.5,), mesh=mesh,
+        max_groups=8)
+    assert int(cnt) > 8  # truncation signalled
+    ok, oq = _np_group_quantiles(keys, vals, (0.5,))
+    np.testing.assert_array_equal(np.asarray(gk)[:8], ok[:8])
+    np.testing.assert_allclose(np.asarray(qcols[0])[:8], oq[0.5][:8],
+                               rtol=1e-6)

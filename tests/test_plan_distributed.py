@@ -156,3 +156,52 @@ def test_dist_plan_tuple_axis(rng):
         for i in range(d * rows, d * rows + counts[d]):
             got[int(kk[i])] = int(vv[i])
     assert got == want
+
+def test_dist_join_large_build_hash_localizes(mesh, rng, monkeypatch):
+    """An inner join whose build exceeds the broadcast threshold must run
+    through the hash-localize route (r2 VERDICT: the planner never used
+    the router) and still match the single-chip plan exactly."""
+    import cuda.radixsort_tpu.pipeline.plan as plan_mod
+
+    monkeypatch.setattr(plan_mod, "_JOIN_BROADCAST_ROWS", 64)
+    n, nb = 8 * 256 + 5, 257  # build above the (patched) threshold
+    pk = rng.integers(0, 400, size=n, dtype=np.uint32)
+    pv = rng.integers(0, 1000, size=n).astype(np.int32)
+    bk = (np.arange(nb, dtype=np.uint32) * 3) % 401
+    bk = np.unique(bk)[:nb]
+    bv = rng.integers(0, 50, size=bk.shape[0]).astype(np.int32)
+    bld = table(k=jnp.asarray(bk), p=jnp.asarray(bv))
+    q = (Query(table(k=jnp.asarray(pk), v=jnp.asarray(pv)))
+         .join(bld, on="k", value="p", how="inner")
+         .groupby("k", "v", agg="sum"))
+    out, counts, _ = q.run(mesh=mesh)
+    got = _sharded_result(out, np.asarray(counts))
+    st, sc, _ = q.run()
+    sc = int(sc)
+    order = np.argsort(got["k"], kind="stable")
+    np.testing.assert_array_equal(got["k"][order],
+                                  np.asarray(st["k"])[:sc])
+    np.testing.assert_array_equal(got["v"][order],
+                                  np.asarray(st["v"])[:sc])
+
+
+def test_dist_join_semi_large_build(mesh, rng, monkeypatch):
+    import cuda.radixsort_tpu.pipeline.plan as plan_mod
+
+    monkeypatch.setattr(plan_mod, "_JOIN_BROADCAST_ROWS", 32)
+    n = 8 * 128 + 1
+    pk = rng.integers(0, 300, size=n, dtype=np.uint32)
+    pv = rng.integers(0, 1000, size=n).astype(np.int32)
+    bk = np.unique(rng.integers(0, 300, size=120, dtype=np.uint32))
+    bld = table(k=jnp.asarray(bk),
+                p=jnp.zeros(bk.shape[0], np.int32))
+    q = (Query(table(k=jnp.asarray(pk), v=jnp.asarray(pv)))
+         .join(bld, on="k", how="semi"))
+    out, counts, _ = q.run(mesh=mesh)
+    got = _sharded_result(out, np.asarray(counts))
+    sel = np.isin(pk, bk)
+    assert got["k"].shape[0] == int(sel.sum())
+    order = np.lexsort((got["v"], got["k"]))
+    worder = np.lexsort((pv[sel], pk[sel]))
+    np.testing.assert_array_equal(got["k"][order], pk[sel][worder])
+    np.testing.assert_array_equal(got["v"][order], pv[sel][worder])

@@ -284,3 +284,44 @@ def test_join_distributed_router(mesh):
             jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), mesh=mesh,
             broadcast_threshold=thresh)
         assert _collect_join(ok, ov, oi, cnt, pk) == want
+
+def test_exchange_rows_undersized_cap_is_loud(mesh):
+    """A cap below the true per-destination send count must NOT silently
+    drop the overflow rows (r2 weakness): the received validity is
+    poisoned to all-False mesh-wide, so the failure is obvious."""
+    rng = np.random.default_rng(7)
+    n = NDEV * 64
+    data = rng.integers(0, 2**31, size=n).astype(np.int32)
+    dest = np.zeros(n, np.int32)  # everything to device 0: count=64 > cap=16
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(d, x):
+        (rx,), v = shuffle.exchange_rows(
+            [x.reshape(-1)], d.reshape(-1), NDEV, "x", 16
+        )
+        return rx.reshape(1, -1), v.reshape(1, -1)
+
+    rx, v = jax.jit(shard_map(
+        fn, mesh=mesh, in_specs=(P("x"), P("x")), out_specs=(P("x"), P("x"))
+    ))(jnp.asarray(dest), jnp.asarray(data))
+    assert not np.asarray(v).any()
+
+
+def test_describe_flags_overflow():
+    from cuda.radixsort_tpu.parallel.stats import ExchangeStats, describe
+
+    st = ExchangeStats(
+        rows_in=jnp.asarray([10], jnp.int32),
+        rows_out=jnp.asarray([10], jnp.int32),
+        wire_bytes=jnp.asarray([1e10], jnp.float32),  # > int32 range
+        cap=jnp.asarray(4, jnp.int32),
+        cap_utilization=jnp.asarray(2.5, jnp.float32),
+        skew=jnp.asarray(1.0, jnp.float32),
+    )
+    s = describe(st)
+    assert "OVERFLOW" in s and "wire_MB=10000" in s

@@ -105,10 +105,59 @@ def for_partition(cfg: SortConfig, bits: int | None = None) -> SortConfig:
     return cfg
 
 
-def preset(platform: str | None = None) -> SortConfig:
-    """Per-generation preset — moral equivalent of CUB's Policy500..Policy1000."""
+@functools.cache
+def device_kind() -> str:
+    """Accelerator generation string, e.g. 'TPU v5 lite' / 'TPU v5p' /
+    'TPU v6 lite' (empty off-accelerator)."""
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:  # pragma: no cover - no backend at all
+        return ""
+
+
+# Per-generation policy table — the moral equivalent of CUB's chained
+# Policy500..Policy1000 (tuning_radix_sort.cuh:358-1063). Provenance:
+#   v5e: every knob swept on the attached v5 lite chip (NOTES rounds 1-2):
+#        4-bit stages + 256-row tiles for the radix stage kernel; bitonic
+#        geometry left on per-size auto (lt=16/lm=20 measured best at
+#        2^24, lm 21 at 2^26+ — the auto encodes that size dependence).
+#   v5p: UNMEASURED starting point (no v5p hardware this round). Same
+#        geometry as v5e: identical 8x128 VPU lane shape and VMEM-class
+#        budget; the higher HBM bandwidth shifts the compute/bandwidth
+#        balance but not the lane-geometry-driven tile shapes. Revisit
+#        with scripts/sweep (tests compile it).
+#   v6e: UNMEASURED starting point (no v6e hardware). Same geometry —
+#        v6 lite keeps the 8x128 lane shape and VMEM size class.
+_GEN_PRESETS = {
+    "v5e": dict(radix_bits=8, tile_rows=64, stage_rows=256,
+                log_tile=None, log_merge=None),
+    "v5p": dict(radix_bits=8, tile_rows=64, stage_rows=256,
+                log_tile=None, log_merge=None),
+    "v6e": dict(radix_bits=8, tile_rows=64, stage_rows=256,
+                log_tile=None, log_merge=None),
+}
+
+
+def generation(kind: str | None = None) -> str:
+    """Normalize a device_kind string to a preset-table key."""
+    k = (kind if kind is not None else device_kind()).lower()
+    if "v5 lite" in k or "v5e" in k or "v5lite" in k:
+        return "v5e"
+    if "v5p" in k or ("v5" in k and "lite" not in k):
+        return "v5p"
+    if "v6" in k:
+        return "v6e"
+    return "v5e"  # unknown TPU generations start from the measured table
+
+
+def preset(platform: str | None = None,
+           kind: str | None = None) -> SortConfig:
+    """Per-generation preset — keyed off jax.devices()[0].device_kind on
+    TPU (CUB Policy500..Policy1000 analogue); CPU gets the v5e geometry
+    with the xla engine (geometry only matters in interpret-mode CI)."""
     platform = platform or default_backend()
-    return SortConfig(radix_bits=8, tile_rows=64, engine=best_engine(platform))
+    knobs = _GEN_PRESETS[generation(kind) if platform == "tpu" else "v5e"]
+    return SortConfig(engine=best_engine(platform), **knobs)
 
 
 def resolve(config: SortConfig | None = None, **overrides) -> SortConfig:

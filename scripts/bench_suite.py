@@ -303,5 +303,69 @@ def main():
                               "error": str(e)[:120]}))
 
 
+def scaling():
+    """Scaling-efficiency harness (BASELINE.json:5: >=80% rows/s scaling
+    1 chip -> 1 host -> N hosts). WEAK scaling: per-device rows fixed, the
+    flagship distributed pipeline (filter->sort->join) and the distributed
+    sort run at mesh sizes {1, device_count}; efficiency =
+    rate(N) / (N * rate(1)).
+
+    On the CPU-8 virtual mesh this is a harness smoke test (virtual
+    devices share one socket — numbers are meaningless); on a pod slice it
+    is the contract measurement. Pod invocation (README):
+        python scripts/bench_suite.py --scaling
+    """
+    from cuda.radixsort_tpu.parallel.dsort import make_mesh, sort_distributed
+    from cuda.radixsort_tpu.pipeline.query import (
+        filter_sort_join_distributed,
+    )
+
+    ndev_max = len(jax.devices())
+    rows_per_dev = 1 << (14 if (SMALL or ndev_max == 1
+                                or jax.default_backend() != "tpu") else 22)
+    nb = 1 << 10  # small build: broadcast route; probe side scales
+    meshes = sorted({1, ndev_max})
+    rng = np.random.default_rng(0)
+    base_rate = {}
+    for ndev in meshes:
+        mesh = make_mesh(ndev)
+        n = ndev * rows_per_dev
+        pk = jnp.asarray(rng.integers(0, 2 * nb, size=n).astype(np.uint32))
+        pv = jnp.asarray(rng.integers(0, 1000, size=n).astype(np.int32))
+        bk = jnp.asarray(np.arange(nb, dtype=np.uint32))
+        bv = jnp.asarray(rng.integers(0, 50, size=nb).astype(np.int32))
+
+        def run_pipeline():
+            out = filter_sort_join_distributed(
+                pk, pv, bk, bv, jnp.int32(500), mesh=mesh)
+            jax.block_until_ready(out)
+
+        def run_sort():
+            out = sort_distributed(pk, mesh=mesh)
+            jax.block_until_ready(out)
+
+        for name, fn in (("pipeline", run_pipeline), ("sort", run_sort)):
+            fn()  # compile
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                fn()
+            dt = (time.perf_counter() - t0) / reps
+            rate = n / dt
+            eff = (rate / (ndev * base_rate[name])
+                   if ndev > 1 and name in base_rate else 1.0)
+            if ndev == 1:
+                base_rate[name] = rate
+            print(json.dumps({
+                "config": f"scaling_{name}", "ndev": ndev, "rows": n,
+                "ms": round(dt * 1e3, 2), "rows_per_s": round(rate, 0),
+                "efficiency_vs_1chip": round(eff, 3), "bar": 0.8,
+                "meets_bar": bool(eff >= 0.8) if ndev > 1 else None,
+            }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -160,6 +160,114 @@ def _tile_sort_body(log_tile: int, n_planes: int, n_cmp: int, *refs):
     _store_planes(outs, planes, n_cmp)
 
 
+# --- transpose-phased bodies (r3) ------------------------------------------
+# Measured on v5e (experiments/probe_vpu_ceiling2 / probe_lane_roll): a
+# sublane ROLL compare-exchange costs ~0.5 op-units/stage while a lane
+# XOR-GATHER stage costs ~2.4, and an in-kernel (128,128) transpose ~2.1.
+# So instead of paying the gather on every stride < 128, these bodies keep
+# the tile in a TRANSPOSED frame (lanes hold network bits 7..13, sublanes
+# hold bits 0..6 and >=14) where strides 0..6 are cheap rolls, and hop to
+# the standard frame only for the strides-7..13 phase of each level — two
+# transposes per level instead of seven gathers.
+
+
+def _to_xp(x):
+    """Swap network bits [0..6] (lanes) with [7..13] (low row bits):
+    (R,128) -> view (R/128, 128, 128) -> swap the two 128 dims. Involution."""
+    r = x.shape[0]
+    return jnp.swapaxes(x.reshape(r // LANES, LANES, LANES), 1, 2).reshape(
+        r, LANES)
+
+
+def _stage_roll_rows(planes, rbit: int, desc, n_cmp: int):
+    """Compare-exchange where the network stride lives in ROW bit `rbit`
+    of the current frame: partner via two static cyclic sublane rolls."""
+    shape = planes[0].shape
+    rs = 1 << rbit
+    r = shape[0]
+    hi = (_row_iota(shape) & rs) != 0
+    partners = [
+        jnp.where(hi, pltpu.roll(x, shift=jnp.int32(rs), axis=0),
+                  pltpu.roll(x, shift=jnp.int32(r - rs), axis=0))
+        for x in planes
+    ]
+    return _cmpex_planes(planes, partners, jnp.logical_xor(hi, desc), n_cmp)
+
+
+def _desc_mask_xp(shape, k: int, log_block: int, tile_desc):
+    """Direction of level k in the TRANSPOSED frame: network bit k lives in
+    row bit k (k<7), lane bit k-7 (7<=k<14), row bit k-7 (k>=14)."""
+    if k < LOG_LANES:
+        m = (_row_iota(shape) & (1 << k)) != 0
+    elif k < 2 * LOG_LANES:
+        m = (_lane_iota(shape) & (1 << (k - LOG_LANES))) != 0
+    elif k < log_block:
+        m = (_row_iota(shape) & (1 << (k - LOG_LANES))) != 0
+    else:
+        m = jnp.zeros(shape, jnp.bool_)
+    return jnp.logical_xor(m, tile_desc)
+
+
+def _level_xp(planes, k: int, log_block: int, tile_desc, n_cmp: int,
+              resident_xp: bool):
+    """All strides of level k with every compare-exchange a row roll.
+
+    resident_xp: planes arrive (and leave) in the transposed frame; else
+    standard. Phases: strides >=14 are row rolls in EITHER frame; strides
+    13..7 need the STANDARD frame; strides 6..0 the TRANSPOSED frame.
+    """
+    nst = min(k, log_block)
+    if resident_xp:
+        desc = _desc_mask_xp(planes[0].shape, k, log_block, tile_desc)
+        for log_s in range(nst - 1, 2 * LOG_LANES - 1, -1):
+            planes = _stage_roll_rows(planes, log_s - LOG_LANES, desc, n_cmp)
+        if nst - 1 >= LOG_LANES:
+            planes = [_to_xp(x) for x in planes]
+            desc_s = _desc_mask(planes[0].shape, k, log_block, tile_desc)
+            for log_s in range(min(nst - 1, 2 * LOG_LANES - 1),
+                               LOG_LANES - 1, -1):
+                planes = _stage_roll_rows(planes, log_s - LOG_LANES,
+                                          desc_s, n_cmp)
+            planes = [_to_xp(x) for x in planes]
+        for log_s in range(min(nst - 1, LOG_LANES - 1), -1, -1):
+            planes = _stage_roll_rows(planes, log_s, desc, n_cmp)
+        return planes
+    # standard-resident (merge bodies): strides >= 7 here, 6..0 transposed
+    desc = _desc_mask(planes[0].shape, k, log_block, tile_desc)
+    for log_s in range(nst - 1, LOG_LANES - 1, -1):
+        planes = _stage_roll_rows(planes, log_s - LOG_LANES, desc, n_cmp)
+    planes = [_to_xp(x) for x in planes]
+    desc_x = _desc_mask_xp(planes[0].shape, k, log_block, tile_desc)
+    for log_s in range(min(nst - 1, LOG_LANES - 1), -1, -1):
+        planes = _stage_roll_rows(planes, log_s, desc_x, n_cmp)
+    return [_to_xp(x) for x in planes]
+
+
+def _tile_sort_body_xp(log_tile: int, n_planes: int, n_cmp: int, *refs):
+    ins, outs = refs[:n_planes], refs[n_planes:]
+    t = pl.program_id(0)
+    planes = [_to_xp(x) for x in _load_planes(ins, n_cmp)]
+    tile_desc = (t & 1) == 1
+    for k in range(1, log_tile + 1):
+        planes = _level_xp(planes, k, log_tile, tile_desc, n_cmp,
+                           resident_xp=True)
+    _store_planes(outs, [_to_xp(x) for x in planes], n_cmp)
+
+
+def _tile_merge_body_xp(log_block: int, k: int, n_planes: int, n_cmp: int,
+                        *refs):
+    ins, outs = refs[:n_planes], refs[n_planes:]
+    t = pl.program_id(0)
+    planes = _load_planes(ins, n_cmp)
+    if k >= log_block:
+        tile_desc = ((t >> (k - log_block)) & 1) == 1
+    else:
+        tile_desc = False
+    planes = _level_xp(planes, k, log_block, tile_desc, n_cmp,
+                       resident_xp=False)
+    _store_planes(outs, planes, n_cmp)
+
+
 # --- fori-compact stage bodies -------------------------------------------
 # The fully-unrolled bodies above emit ~log_tile^2/2 stages of Mosaic code;
 # at 3+ planes the program size kills compilation (round-1: 3-plane lt=16
@@ -478,6 +586,25 @@ def _cross_span_body_sb(c: int, k: int, log_block: int, base_bit: int,
 _SPAN_LOG_BLOCK = 17  # 0.5 MB sub-blocks: 2x2^c of them stay under VMEM
 
 
+def _use_xp() -> bool:
+    """Transpose-phased stage bodies (roll-only compare-exchanges)."""
+    import os
+
+    return os.environ.get("RS_XP", "0") == "1"
+
+
+def _span_c_max(n_planes: int) -> int:
+    """Grouped-span width: 2^c sub-blocks of 0.5 MB per plane (x2 slots
+    when double-buffered) must fit the 128 MiB VMEM alongside the merge
+    kernels' blocks. RS_SPAN_CMAX overrides for sweeps."""
+    import os
+
+    ov = os.environ.get("RS_SPAN_CMAX")
+    if ov:
+        return int(ov)
+    return max(1, 5 - (n_planes - 1).bit_length())
+
+
 def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
                        n_cmp: int, interpret: bool):
     """Run cross stages with strides 2^log_s_hi .. 2^log_s_lo (consecutive,
@@ -578,13 +705,17 @@ def _sort_planes_impl(planes, n_planes, logn, n_cmp, log_tile, log_merge,
     nrows = (1 << logn) // LANES
     sort_body = _tile_sort_body_compact if compact else _tile_sort_body
     merge_body = _tile_merge_body_compact if compact else _tile_merge_body
+    if not compact and _use_xp():
+        if rows_per_tile >= LANES:
+            sort_body = _tile_sort_body_xp
+        if rows_per_block >= LANES:
+            merge_body = _tile_merge_body_xp
 
     xs = [p.reshape(nrows, LANES) for p in planes]
     xs = _as_list(_tile_call(
         functools.partial(sort_body, log_tile, n_planes, n_cmp),
         n_planes, nrows, rows_per_tile, interpret)(*xs))
-    # grouped-span width: 2^c sub-blocks of 0.5 MB per plane must fit VMEM
-    c_max = max(1, 5 - (n_planes - 1).bit_length())
+    c_max = _span_c_max(n_planes)
     for k in range(log_tile + 1, logn + 1):
         if k > log_merge:
             log_s = k - 1
@@ -646,8 +777,11 @@ def _merge_planes_impl(planes, logn, log_block, n_cmp, log_tile, log_merge,
     log_merge = max(min(log_merge, logn), log_tile)
     rows_per_block = 1 << (max(log_merge, LOG_LANES) - LOG_LANES)
     nrows = (1 << logn) // LANES
+    merge_body = (_tile_merge_body_xp
+                  if _use_xp() and rows_per_block >= LANES
+                  else _tile_merge_body)
     xs = [p.reshape(nrows, LANES) for p in planes]
-    c_max = max(1, 5 - (n_planes - 1).bit_length())
+    c_max = _span_c_max(n_planes)
     for k in range(log_block + 1, logn + 1):
         if k > log_merge:
             log_s = k - 1
@@ -657,7 +791,7 @@ def _merge_planes_impl(planes, logn, log_block, n_cmp, log_tile, log_merge,
                                         n_cmp, interpret)
                 log_s -= c
         xs = _as_list(_tile_call(
-            functools.partial(_tile_merge_body, log_merge, k, n_planes,
+            functools.partial(merge_body, log_merge, k, n_planes,
                               n_cmp),
             n_planes, nrows, rows_per_block, interpret)(*xs))
     return [x.reshape(-1) for x in xs]

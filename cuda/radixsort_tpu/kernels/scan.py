@@ -53,7 +53,8 @@ def _identity(op: str, dtype):
         dtype, jnp.floating) else jnp.asarray(jnp.iinfo(dtype).min, dtype))
 
 
-def _sscan_kernel(op: str, lanes: int, x_ref, f_ref, o_ref, carry_ref):
+def _sscan_kernel(op: str, rows: int, lanes: int, x_ref, f_ref, o_ref,
+                  carry_ref):
     t = pl.program_id(0)
     f = _OPS[op]
 
@@ -61,13 +62,13 @@ def _sscan_kernel(op: str, lanes: int, x_ref, f_ref, o_ref, carry_ref):
     def _():
         carry_ref[0, 0] = _identity(op, carry_ref.dtype)
 
-    v = x_ref[0]                          # (ROWS, lanes) values
-    g = f_ref[0]                          # (ROWS, lanes) i32 head flags
-    lane = jax.lax.broadcasted_iota(_I32, (_ROWS, lanes), 1)
+    v = x_ref[0]                          # (rows, lanes) values
+    g = f_ref[0]                          # (rows, lanes) i32 head flags
+    lane = jax.lax.broadcasted_iota(_I32, (rows, lanes), 1)
     d = 1
     while d < lanes:
         pv = jnp.concatenate([v[:, :d], v[:, :-d]], axis=1)
-        pg = jnp.concatenate([jnp.ones((_ROWS, d), _I32), g[:, :-d]],
+        pg = jnp.concatenate([jnp.ones((rows, d), _I32), g[:, :-d]],
                              axis=1)
         in_range = lane >= d
         take = in_range & (g == 0)
@@ -75,47 +76,72 @@ def _sscan_kernel(op: str, lanes: int, x_ref, f_ref, o_ref, carry_ref):
         g = jnp.maximum(g, jnp.where(in_range, pg, 0))
         d *= 2
 
-    # per-row first-head position (lanes when the row has no head): the
-    # running carry applies to each row's prefix before its first head
+    # Cross-row carry, fully vectorized (r3 — the former 8-step sequential
+    # per-row scalar extraction dominated the kernel): per-row aggregate
+    # A_r = in-row scan value at the row end (accumulation of the segment
+    # still open at the row boundary), per-row head flag H_r; a flagged
+    # doubling over the (rows, 1) columns yields S_r = accumulation
+    # entering row r+1, seeded with the cross-tile carry. Exactly two
+    # scalar accesses per tile remain: carry in, carry out.
     fl = f_ref[0]
     first = jnp.min(jnp.where(fl > 0, lane, lanes), axis=1,
-                    keepdims=True)        # (ROWS, 1)
+                    keepdims=True)        # (rows, 1)
     pre = lane < first
-    c = carry_ref[0, 0]
-    rows = []
-    for r in range(_ROWS):
-        vr = v[r:r + 1, :]
-        out_r = jnp.where(pre[r:r + 1, :], f(c, vr), vr)
-        c = out_r[0, lanes - 1]
-        rows.append(out_r)
-    out = jnp.concatenate(rows, axis=0)
-    o_ref[...] = out.reshape(1, _ROWS, lanes)
-    carry_ref[0, 0] = c
+    tc = carry_ref[0, 0]
+    A = v[:, lanes - 1:lanes]             # (rows, 1)
+    # flags stay i32 throughout — Mosaic cannot truncate narrow vectors
+    # to i1 (arith.trunci i8->i1 fails on (rows,1) shapes)
+    H = jnp.max(fl, axis=1, keepdims=True)
+    # seed the incoming carry into ROW 0 ONLY (doubling COMBINES values —
+    # seeding any later headless row would fold tc in twice): if row 0 has
+    # no head its aggregate continues the incoming segment.
+    A0 = jnp.where(H[0:1] > 0, A[0:1], f(tc, A[0:1]))
+    A = jnp.concatenate([A0, A[1:]], axis=0)
+    S, h = A, H
+    d = 1
+    row = jax.lax.broadcasted_iota(_I32, (rows, 1), 0)
+    while d < rows:
+        pS = jnp.concatenate([S[:d], S[:-d]], axis=0)
+        ph = jnp.concatenate([jnp.ones((d, 1), _I32), h[:-d]], axis=0)
+        in_range = row >= d
+        take = in_range & (h == 0)
+        S = jnp.where(take, f(pS, S), S)
+        h = jnp.maximum(h, jnp.where(in_range, ph, 0))
+        d *= 2
+    C = jnp.concatenate([jnp.full((1, 1), tc, v.dtype), S[:-1]], axis=0)
+    out = jnp.where(pre, f(C, v), v)
+    o_ref[...] = out.reshape(1, rows, lanes)
+    carry_ref[0, 0] = S[rows - 1, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("op", "tile", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("op", "tile", "rows", "interpret"))
 def segmented_scan_pallas(
     values: jnp.ndarray,
     head_flags: jnp.ndarray,
     op: str = "sum",
     *,
-    tile: int = 4096,
+    tile: int = 16384,
+    rows: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Inclusive segmented scan (restart at True head flags; position 0 is
     always a head) — one HBM read + one write. op: "sum"|"min"|"max";
-    values i32/u32/f32."""
+    values i32/u32/f32. tile = rows x lanes elements per grid step (rows
+    power of two; lanes >= 128)."""
     if op not in _OPS:
         raise ValueError(f"op must be one of {list(_OPS)}")
     n = values.shape[0]
     if n == 0:
         return values
-    # a tile is (8, lanes): keep lanes >= 128 so the VPU stays full
-    while tile > _ROWS * 128 and tile // 2 >= n:
+    # shrink for small inputs: keep lanes >= 128 so the VPU stays full
+    while tile // 2 >= n and (tile // 2) // rows >= 128:
         tile //= 2
-    if tile % _ROWS:
-        raise ValueError(f"tile must be a multiple of {_ROWS}")
-    lanes = tile // _ROWS
+    while tile // rows < 128 and rows > 8:
+        rows //= 2
+    if tile % rows:
+        raise ValueError(f"tile must be a multiple of rows={rows}")
+    lanes = tile // rows
     ident = _identity(op, values.dtype)
     npad = -n % tile
     flags = head_flags.astype(_I32)
@@ -127,20 +153,20 @@ def segmented_scan_pallas(
         flags = jnp.concatenate([flags, jnp.ones((npad,), _I32)])
     nt = (n + npad) // tile
     out = pl.pallas_call(
-        functools.partial(_sscan_kernel, op, lanes),
+        functools.partial(_sscan_kernel, op, rows, lanes),
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, _ROWS, lanes), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, rows, lanes), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _ROWS, lanes), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, rows, lanes), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=jax.ShapeDtypeStruct((nt, _ROWS, lanes), values.dtype),
-        out_specs=pl.BlockSpec((1, _ROWS, lanes), lambda t: (t, 0, 0),
+        out_shape=jax.ShapeDtypeStruct((nt, rows, lanes), values.dtype),
+        out_specs=pl.BlockSpec((1, rows, lanes), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SMEM((1, 1), values.dtype)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(values.reshape(nt, _ROWS, lanes), flags.reshape(nt, _ROWS, lanes))
+    )(values.reshape(nt, rows, lanes), flags.reshape(nt, rows, lanes))
     out = out.reshape(-1)
     return out[:n] if npad else out

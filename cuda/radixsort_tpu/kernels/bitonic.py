@@ -623,8 +623,10 @@ def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
     # DB doubles the span program size; at 3+ planes that overflows the
     # Mosaic compiler (measured round 2) — those networks take the
     # single-buffered body (spans are a small share of multi-plane sorts).
+    # RS_SPAN_DB_PLANES raises the plane cap for retry experiments.
+    db_planes = int(os.environ.get("RS_SPAN_DB_PLANES", "2"))
     double_buf = (os.environ.get("RS_SPAN_DB", "1") == "1"
-                  and n_planes <= 2)
+                  and n_planes <= db_planes)
     body = _cross_span_body if double_buf else _cross_span_body_sb
     nslots = 2 if double_buf else 1
     sems = ([pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]

@@ -8,17 +8,24 @@ for grouped semantics).
 
 TPU-native design — compact primitives ONLY. ``jax.lax.associative_scan``
 fails to compile at >=2^21 elements through this backend's remote-compile
-path (measured; ops/join.py and ops/aggregate.py carry the same note), so:
+path (measured; ops/join.py and ops/aggregate.py carry the same note).
 
-* sum (and count): one ``cumsum`` + one segment-start position fill
-  (``cummax`` of marked positions — positions are monotone, so the fill is
-  exact for ANY value sign) + one gather of the exclusive prefix at the
-  segment start:  out[i] = cs[i] - exc[start(i)].
+Engines, picked by ``engine="auto"`` (measured @2^24 on v5e, r3):
+
+* Pallas one-read-one-write kernel (kernels/scan.py) for named
+  sum/min/max at >=2^16 rows on TPU — 1.3 ms @16M (12.9 G rows/s).
+* sum (and count) elsewhere: one ``cumsum`` + one segment-start position
+  fill (``cummax`` of marked positions — positions are monotone, so the
+  fill is exact for ANY value sign) + one gather of the exclusive prefix
+  at the segment start: out[i] = cs[i] - exc[start(i)]. CPU/small-n
+  only — the TPU elementwise gather runs at ~0.11 G rows/s (155 ms
+  @2^24).
 * everything else (min/max/prod/custom associative op): a hand-rolled
   Hillis–Steele doubling scan with head-flag propagation — ceil(log2 n)
-  unrolled steps, each a shift + where + op (the same elementwise shapes
-  the bitonic networks compile from in seconds). Same log-depth tree an
-  associative_scan would build, without the primitive's lowering.
+  unrolled steps, each a shift + where + op (8.9 ms @2^24; the same
+  elementwise shapes the bitonic networks compile from in seconds). Same
+  log-depth tree an associative_scan would build, without the
+  primitive's lowering.
 
 Exclusive scans shift values one slot right WITHIN each segment (head
 slots take the operator identity) and run the same inclusive machinery; a

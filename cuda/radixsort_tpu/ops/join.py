@@ -52,6 +52,31 @@ def _fill_from_marks(marked, x, fill=-1):
     return jax.lax.cummax(jnp.where(marked, x, fill))
 
 
+def _fill_value_from_marks(marked, values):
+    """Forward-fill ARBITRARY values from marked rows (rows before the
+    first mark get the dtype minimum) — gather-free: a segmented max scan
+    seeded with the marked values, restarting at each mark, rides the
+    Pallas one-read-one-write scan kernel on TPU. Replaces the former
+    position-fill + n-sized jnp.take, which runs at ~0.11 G rows/s there
+    (36 ms @4M — it dominated the join)."""
+    from cuda.radixsort_tpu.ops.scan import segmented_scan
+
+    if jnp.issubdtype(values.dtype, jnp.floating):
+        ident = jnp.asarray(-jnp.inf, values.dtype)
+    else:
+        ident = jnp.asarray(jnp.iinfo(values.dtype).min, values.dtype)
+    seeded = jnp.where(marked, values, ident)
+    return segmented_scan(seeded, marked, "max")
+
+
+def _monotone_at_group_end(is_end, x, big):
+    """x's value at the LAST row of each group, broadcast over the group.
+    Requires x NON-DECREASING (prefix counts) — backward-fill from end
+    marks is then one reversed cummin; no gather."""
+    filled_r = jax.lax.cummin(jnp.where(is_end[::-1], x[::-1], big))
+    return filled_r[::-1]
+
+
 @functools.partial(jax.jit, static_argnames=("how", "config"))
 def join(
     build_keys: jnp.ndarray,
@@ -155,9 +180,8 @@ def join(
     cb_at_start = _fill_from_marks(is_start, cb_excl)
     matched = (cb_incl - cb_at_start) > 0
     # carried value = svals at the last build row so far (inside my group
-    # whenever matched): one n-sized gather
-    last_build_pos = _fill_from_marks(is_build, pos)
-    cv = jnp.take(svals, jnp.clip(last_build_pos, 0, ntot - 1), axis=0)
+    # whenever matched) — gather-free seeded segmented-max fill
+    cv = _fill_value_from_marks(is_build, svals)
     is_probe = sside == 1
 
     # composite-op compaction: the XLA path fuses with the surrounding
@@ -178,19 +202,18 @@ def join(
         (ok, oi), count = _filter_columns(keep, (skeys, sorig), config=fcfg)
         return ok, oi, count
     if how in ("right", "full"):
-        # a build row is unmatched iff its key group holds no probe row:
-        # group = [grp_start, next_start); probe-free iff group size equals
-        # the group's build count. next_start via one backward cummin.
-        starts_pos = jnp.where(is_start, pos, ntot)
-        m = jax.lax.cummin(starts_pos[::-1])[::-1]       # min start >= i
-        next_start = jnp.concatenate(
-            [m[1:], jnp.full((1,), ntot, m.dtype)])
+        # a build row is unmatched iff its key group holds no VALID probe
+        # row: compare the group's inclusive probe count at its end vs at
+        # its start. Both fills are gather-free — prefix counts are
+        # monotone, so the end fill is one reversed cummin (the former
+        # jnp.take at next_start-1 paid the ~0.11 G rows/s TPU gather).
+        is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
         cp_incl = jnp.cumsum(is_probe.astype(jnp.int32))
         cp_excl = cp_incl - is_probe.astype(jnp.int32)
         cp_at_start = _fill_from_marks(is_start, cp_excl)
-        cp_end = jnp.take(cp_incl,
-                          jnp.clip(next_start - 1, 0, ntot - 1), axis=0)
-        has_probe = (cp_end - cp_at_start) > 0
+        cp_at_end = _monotone_at_group_end(is_end, cp_incl,
+                                           jnp.int32(ntot + 1))
+        has_probe = (cp_at_end - cp_at_start) > 0
         build_only = is_build & jnp.logical_not(has_probe)
         if how == "right":
             keep = (is_probe & matched) | build_only

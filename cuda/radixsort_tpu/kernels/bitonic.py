@@ -583,7 +583,16 @@ def _cross_span_body_sb(c: int, k: int, log_block: int, base_bit: int,
         cp.wait()
 
 
-_SPAN_LOG_BLOCK = 17  # 0.5 MB sub-blocks: 2x2^c of them stay under VMEM
+def _span_log_block() -> int:
+    """Span sub-block size: 0.5 MB (2^17 elems) sub-blocks — 2x2^c of them
+    stay under VMEM. RS_SPAN_LOG_BLOCK overrides for geometry sweeps (a
+    smaller block admits a wider span c at the same VMEM budget; a larger
+    one amortizes DMA latency over fewer, bigger transfers)."""
+    import os
+
+    return int(os.environ.get("RS_SPAN_LOG_BLOCK", "17"))
+
+
 
 
 def _use_xp() -> bool:
@@ -608,12 +617,12 @@ def _span_c_max(n_planes: int) -> int:
 def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
                        n_cmp: int, interpret: bool):
     """Run cross stages with strides 2^log_s_hi .. 2^log_s_lo (consecutive,
-    descending, all >= 2^_SPAN_LOG_BLOCK) in one grouped pass."""
+    descending, all >= 2^_span_log_block()) in one grouped pass."""
     n_planes = len(planes)
     nrows = planes[0].shape[0]
     c = log_s_hi - log_s_lo + 1
     # sub-block can't exceed the smallest stride in the span
-    log_block = min(_SPAN_LOG_BLOCK, log_s_lo)
+    log_block = min(_span_log_block(), log_s_lo)
     brows = 1 << (log_block - LOG_LANES)
     base_bit = log_s_lo - log_block
     nblocks = nrows // brows

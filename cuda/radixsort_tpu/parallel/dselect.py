@@ -238,37 +238,28 @@ def groupby_quantile_distributed(keys, values, qs=(0.5,), *, mesh: Mesh,
                                          max_groups=max_groups)
 
 
-@functools.partial(jax.jit, static_argnames=("qs", "mesh", "axis_name",
-                                             "max_groups"))
-def _groupby_quantile_distributed(keys, values, qs, *, mesh, axis_name,
-                                  max_groups):
+def quantile_refine_shard(kb, vb, valid, qs, max_groups, value_dtype,
+                          axis_name):
+    """Per-shard histogram-refinement group-by quantiles — the core of
+    `groupby_quantile_distributed`, factored out so OTHER shard_map bodies
+    (the declarative plan's quantiles stage) can run it in place of a
+    raw-row hash exchange: per 4-bit level the only collective is one psum
+    of a (targets, 16) histogram; no key or value leaves its device.
+
+    Must be called INSIDE shard_map over `axis_name`. kb, vb: (s,) uint32
+    TWIDDLED key/value bit columns (twiddle.twiddle_in); valid: (s,) bool.
+    Returns (group-key BITS (G,) u32, ascending over the valid prefix;
+    qstack (Q, G) in _mean_dtype(value_dtype); n_groups () int32 —
+    n_groups > G RELIABLY signals that groups beyond the G key-smallest
+    were dropped; the kept slots' quantiles stay exact).
+    """
     from cuda.radixsort_tpu.ops.aggregate import _mean_dtype
     from cuda.radixsort_tpu.ops.unique import _run_starts
 
-    for q in qs:
-        if not 0.0 <= q <= 1.0:
-            raise ValueError(f"quantile {q} outside [0, 1]")
-    if twiddle.bit_width(keys.dtype) > 32 or twiddle.bit_width(
-            values.dtype) > 32:
-        raise NotImplementedError(
-            "groupby_quantile_distributed: <=32-bit keys and values")
     G, Q = max_groups, len(qs)
     T = G * Q * 2
-    ndev = axis_size(mesh, axis_name)
-    n = keys.shape[0]
-    md0 = _mean_dtype(values.dtype)
-    if n == 0:
-        return (jnp.zeros((G,), keys.dtype),
-                tuple(jnp.zeros((G,), md0) for _ in qs),
-                jnp.zeros((), jnp.int32))
-    s = -(-n // ndev)
-    pad = s * ndev - n
-    kbits = twiddle.twiddle_in(keys).astype(jnp.uint32)
-    vbits = twiddle.twiddle_in(values).astype(jnp.uint32)
-    if pad:
-        kbits = jnp.concatenate([kbits, jnp.zeros((pad,), jnp.uint32)])
-        vbits = jnp.concatenate([vbits, jnp.zeros((pad,), jnp.uint32)])
-    md = _mean_dtype(values.dtype)
+    s = kb.shape[0]
+    md = _mean_dtype(value_dtype)
     # row chunks for the match-matrix matmul: (C, T) + (C, 16) live at once
     C = min(s, 32768)
     nc = -(-s // C)
@@ -296,98 +287,137 @@ def _groupby_quantile_distributed(keys, values, qs, *, mesh, axis_name,
         padded = jnp.where(slotvalid, kept[:G], jnp.uint32(0xFFFFFFFF))
         return padded, slotvalid, cnt
 
-    def shard_fn(kb, vb):
-        kb, vb = kb.reshape(-1), vb.reshape(-1)
-        valid = _shard_valid(n, s, axis_name)
-        # --- replicated global group-key set (<= G per the contract) ---
-        lk, lval, lcnt = _distinct_padded(kb, jnp.logical_not(valid))
-        ak = jax.lax.all_gather(lk, axis_name, tiled=True)
-        av = jax.lax.all_gather(lval, axis_name, tiled=True)
-        gk, gvalid, gcnt = _distinct_padded(ak, jnp.logical_not(av))
-        # overflow detection: any shard whose LOCAL distinct count exceeds
-        # G truncated candidates before the gather, so groups beyond the G
-        # key-smallest may be missing or partial (every one of the G
-        # globally-smallest keys survives local truncation: on any shard
-        # holding it, fewer than G local keys precede it). Report
-        # n_groups > G reliably in that case.
-        over = jax.lax.psum((lcnt > G).astype(jnp.int32), axis_name) > 0
-        n_groups = jnp.where(over, jnp.maximum(gcnt, G + 1), gcnt)
-        # gk is ascending over its valid prefix; pads sort after every real
-        # key (flag-major), so searchsorted('left') lands on the real slot
-        # even for a key equal to a pad's bit pattern.
-        gid = jnp.searchsorted(gk, kb, side="left").astype(jnp.int32)
-        gid = jnp.clip(gid, 0, G - 1)
-        # rows whose key is NOT in the kept slot set (dropped beyond-G
-        # groups) must not be counted into the slot searchsorted clips
-        # them to — the r2 silent-corruption bug (ADVICE finding).
-        valid = valid & (jnp.take(gk, gid, axis=0) == kb)
-        cnt = jnp.zeros((G,), jnp.int32).at[gid].add(
-            valid.astype(jnp.int32), mode="drop")
-        cnt = jax.lax.psum(cnt, axis_name)
+    # --- replicated global group-key set (<= G per the contract) ---
+    lk, lval, lcnt = _distinct_padded(kb, jnp.logical_not(valid))
+    ak = jax.lax.all_gather(lk, axis_name, tiled=True)
+    av = jax.lax.all_gather(lval, axis_name, tiled=True)
+    gk, gvalid, gcnt = _distinct_padded(ak, jnp.logical_not(av))
+    # overflow detection: any shard whose LOCAL distinct count exceeds
+    # G truncated candidates before the gather, so groups beyond the G
+    # key-smallest may be missing or partial (every one of the G
+    # globally-smallest keys survives local truncation: on any shard
+    # holding it, fewer than G local keys precede it). Report
+    # n_groups > G reliably in that case.
+    over = jax.lax.psum((lcnt > G).astype(jnp.int32), axis_name) > 0
+    n_groups = jnp.where(over, jnp.maximum(gcnt, G + 1), gcnt)
+    # gk is ascending over its valid prefix; pads sort after every real
+    # key (flag-major), so searchsorted('left') lands on the real slot
+    # even for a key equal to a pad's bit pattern.
+    gid = jnp.searchsorted(gk, kb, side="left").astype(jnp.int32)
+    gid = jnp.clip(gid, 0, G - 1)
+    # rows whose key is NOT in the kept slot set (dropped beyond-G
+    # groups) must not be counted into the slot searchsorted clips
+    # them to — the r2 silent-corruption bug (ADVICE finding).
+    valid = valid & (jnp.take(gk, gid, axis=0) == kb)
+    cnt = jnp.zeros((G,), jnp.int32).at[gid].add(
+        valid.astype(jnp.int32), mode="drop")
+    cnt = jax.lax.psum(cnt, axis_name)
 
-        # --- targets: for each q, each group, the floor and ceil ranks ---
-        cntf = jnp.maximum(cnt - 1, 0).astype(jnp.float32)
-        klo, khi, fracs = [], [], []
-        for q in qs:
-            idx_f = cntf * jnp.float32(q)
-            lo = jnp.floor(idx_f).astype(jnp.int32)
-            klo.append(lo)
-            khi.append(jnp.ceil(idx_f).astype(jnp.int32))
-            fracs.append(idx_f - lo.astype(jnp.float32))
-        kk = jnp.concatenate(klo + khi)              # (T,) = (Q*G + Q*G,)
-        g_t = jnp.tile(jnp.arange(G, dtype=jnp.int32), 2 * Q)
+    # --- targets: for each q, each group, the floor and ceil ranks ---
+    cntf = jnp.maximum(cnt - 1, 0).astype(jnp.float32)
+    klo, khi, fracs = [], [], []
+    for q in qs:
+        idx_f = cntf * jnp.float32(q)
+        lo = jnp.floor(idx_f).astype(jnp.int32)
+        klo.append(lo)
+        khi.append(jnp.ceil(idx_f).astype(jnp.int32))
+        fracs.append(idx_f - lo.astype(jnp.float32))
+    kk = jnp.concatenate(klo + khi)              # (T,) = (Q*G + Q*G,)
+    g_t = jnp.tile(jnp.arange(G, dtype=jnp.int32), 2 * Q)
 
-        # --- chunked rows for the per-level MXU counting ---
+    # --- chunked rows for the per-level MXU counting ---
+    # (skip zero-length pads: a (0,)-shaped jnp.zeros trips an XLA sharding
+    # assertion when traced inside an EAGER shard_map over an explicit-axes
+    # mesh — the plan layer's calling convention)
+    if spad:
         vb_c = jnp.concatenate([vb, jnp.zeros((spad,), jnp.uint32)])
         gid_c = jnp.concatenate([gid, jnp.zeros((spad,), jnp.int32)])
         val_c = jnp.concatenate([valid, jnp.zeros((spad,), bool)])
-        vb_c = vb_c.reshape(nc, C)
-        gid_c = gid_c.reshape(nc, C)
-        val_c = val_c.reshape(nc, C)
-        digits16 = jnp.arange(16, dtype=jnp.uint32)
+    else:
+        vb_c, gid_c, val_c = vb, gid, valid
+    vb_c = vb_c.reshape(nc, C)
+    gid_c = gid_c.reshape(nc, C)
+    val_c = val_c.reshape(nc, C)
+    digits16 = jnp.arange(16, dtype=jnp.uint32)
 
-        prefix = jnp.zeros((T,), jnp.uint32)
-        for level in range(28, -1, -4):
-            shift = jnp.uint32(level)
-            himask = jnp.uint32((0xFFFFFFFF << (level + 4)) & 0xFFFFFFFF
-                                if level + 4 < 32 else 0)
+    prefix = jnp.zeros((T,), jnp.uint32)
+    for level in range(28, -1, -4):
+        shift = jnp.uint32(level)
+        himask = jnp.uint32((0xFFFFFFFF << (level + 4)) & 0xFFFFFFFF
+                            if level + 4 < 32 else 0)
 
-            def body(hist, chunk):
-                cv, cg, cval = chunk
-                hi = cv & himask
-                digit = (cv >> shift) & jnp.uint32(15)
-                match = ((cg[:, None] == g_t[None, :])
-                         & (hi[:, None] == prefix[None, :])
-                         & cval[:, None])                      # (C, T)
-                onehot = (digit[:, None] == digits16[None, :])  # (C, 16)
-                hist = hist + jnp.dot(
-                    match.astype(jnp.float32).T,
-                    onehot.astype(jnp.float32)).astype(jnp.int32)
-                return hist, None
+        def body(hist, chunk):
+            cv, cg, cval = chunk
+            hi = cv & himask
+            digit = (cv >> shift) & jnp.uint32(15)
+            match = ((cg[:, None] == g_t[None, :])
+                     & (hi[:, None] == prefix[None, :])
+                     & cval[:, None])                      # (C, T)
+            onehot = (digit[:, None] == digits16[None, :])  # (C, 16)
+            hist = hist + jnp.dot(
+                match.astype(jnp.float32).T,
+                onehot.astype(jnp.float32)).astype(jnp.int32)
+            return hist, None
 
-            hist, _ = jax.lax.scan(body, jnp.zeros((T, 16), jnp.int32),
-                                   (vb_c, gid_c, val_c))
-            hist = jax.lax.psum(hist, axis_name)
-            cum = jnp.cumsum(hist, axis=1) - hist
-            bucket = jnp.sum((cum <= kk[:, None]).astype(jnp.int32),
-                             axis=1) - 1
-            bucket = jnp.clip(bucket, 0, 15)
-            kk = kk - jnp.take_along_axis(cum, bucket[:, None],
-                                          axis=1)[:, 0]
-            prefix = prefix | (bucket.astype(jnp.uint32) << shift)
+        hist, _ = jax.lax.scan(body, jnp.zeros((T, 16), jnp.int32),
+                               (vb_c, gid_c, val_c))
+        hist = jax.lax.psum(hist, axis_name)
+        cum = jnp.cumsum(hist, axis=1) - hist
+        bucket = jnp.sum((cum <= kk[:, None]).astype(jnp.int32),
+                         axis=1) - 1
+        bucket = jnp.clip(bucket, 0, 15)
+        kk = kk - jnp.take_along_axis(cum, bucket[:, None],
+                                      axis=1)[:, 0]
+        prefix = prefix | (bucket.astype(jnp.uint32) << shift)
 
-        # --- assemble: lerp the floor/ceil selections per (q, group) ---
-        sel = prefix.reshape(2, Q, G)                # [lo/hi][q][g]
-        qcols = []
-        for qi in range(Q):
-            vlo = twiddle.twiddle_out(sel[0, qi], values.dtype).astype(md)
-            vhi = twiddle.twiddle_out(sel[1, qi], values.dtype).astype(md)
-            f = fracs[qi].astype(md)
-            col = vlo * (1 - f) + vhi * f
-            qcols.append(jnp.where(gvalid & (cnt > 0), col,
-                                   jnp.zeros((), md)).reshape(1, G))
-        return (gk.reshape(1, G), jnp.stack(qcols, 0),
-                n_groups.reshape(1))
+    # --- assemble: lerp the floor/ceil selections per (q, group) ---
+    sel = prefix.reshape(2, Q, G)                # [lo/hi][q][g]
+    qcols = []
+    for qi in range(Q):
+        vlo = twiddle.twiddle_out(sel[0, qi], value_dtype).astype(md)
+        vhi = twiddle.twiddle_out(sel[1, qi], value_dtype).astype(md)
+        f = fracs[qi].astype(md)
+        col = vlo * (1 - f) + vhi * f
+        qcols.append(jnp.where(gvalid & (cnt > 0), col,
+                               jnp.zeros((), md)))
+    return gk, jnp.stack(qcols, 0), n_groups
+
+
+@functools.partial(jax.jit, static_argnames=("qs", "mesh", "axis_name",
+                                             "max_groups"))
+def _groupby_quantile_distributed(keys, values, qs, *, mesh, axis_name,
+                                  max_groups):
+    from cuda.radixsort_tpu.ops.aggregate import _mean_dtype
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    if twiddle.bit_width(keys.dtype) > 32 or twiddle.bit_width(
+            values.dtype) > 32:
+        raise NotImplementedError(
+            "groupby_quantile_distributed: <=32-bit keys and values")
+    G = max_groups
+    ndev = axis_size(mesh, axis_name)
+    n = keys.shape[0]
+    md0 = _mean_dtype(values.dtype)
+    if n == 0:
+        return (jnp.zeros((G,), keys.dtype),
+                tuple(jnp.zeros((G,), md0) for _ in qs),
+                jnp.zeros((), jnp.int32))
+    s = -(-n // ndev)
+    pad = s * ndev - n
+    kbits = twiddle.twiddle_in(keys).astype(jnp.uint32)
+    vbits = twiddle.twiddle_in(values).astype(jnp.uint32)
+    if pad:
+        kbits = jnp.concatenate([kbits, jnp.zeros((pad,), jnp.uint32)])
+        vbits = jnp.concatenate([vbits, jnp.zeros((pad,), jnp.uint32)])
+
+    def shard_fn(kb, vb):
+        kb, vb = kb.reshape(-1), vb.reshape(-1)
+        valid = _shard_valid(n, s, axis_name)
+        gk, qstack, n_groups = quantile_refine_shard(
+            kb, vb, valid, qs, max_groups, values.dtype, axis_name)
+        return (gk.reshape(1, G), qstack[:, None, :], n_groups.reshape(1))
 
     gk, qstack, gcnt = shard_map(
         shard_fn, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),

@@ -99,10 +99,21 @@ class Query:
                           tuple((n, v, a) for n, (v, a) in aggs.items()))
 
     def quantiles(self, key: str, value: str, qs=(0.25, 0.5, 0.75), *,
-                  names=None) -> "Query":
+                  names=None, max_groups: int | None = None) -> "Query":
         """Per-group quantiles of `value` grouped by `key` (linear
         interpolation; all qs share one sort). Output columns: key plus one
-        per q — `names` or "q25"-style defaults."""
+        per q — `names` or "q25"-style defaults.
+
+        max_groups: planner hint — the caller asserts the distinct group
+        count is <= max_groups. Distributed runs then use histogram
+        refinement (parallel.dselect.quantile_refine_shard): per 4-bit
+        level the only collective is one psum'd (targets, 16) histogram —
+        no row ever leaves its device — instead of hash-exchanging the raw
+        (key, value) table. Requires <=32-bit key/value dtypes. If the
+        assertion is violated, only the max_groups key-smallest groups are
+        returned (use parallel.dselect.groupby_quantile_distributed
+        directly to detect truncation via its n_groups output).
+        Single-chip runs ignore the hint."""
         qs = tuple(float(q) for q in (qs if isinstance(qs, (tuple, list))
                                       else (qs,)))
         if names is None:
@@ -112,7 +123,7 @@ class Query:
             raise ValueError(f"{len(names)} names for {len(qs)} qs")
         if len(set(names)) != len(names) or key in names:
             raise ValueError(f"quantile output names collide: {names}")
-        return self._with("quantiles", key, value, qs, names)
+        return self._with("quantiles", key, value, qs, names, max_groups)
 
     def distinct(self, *keys: str) -> "Query":
         """Deduplicate rows by the named columns (all columns when none
@@ -172,9 +183,10 @@ class Query:
                 lines.append(f"groupby_agg keys={list(keys)} aggs="
                              + str({n: (v, a) for n, v, a in aggs}))
             elif st.op == "quantiles":
-                key, value, qs, names = st.args
+                key, value, qs, names, mg = st.args
                 lines.append(f"quantiles key={key!r} value={value!r} "
-                             f"qs={list(qs)}")
+                             f"qs={list(qs)}"
+                             + (f" max_groups={mg}" if mg else ""))
             elif st.op == "distinct":
                 ks = st.args[0]
                 lines.append("distinct" + (f" {list(ks)}" if ks else ""))
@@ -382,7 +394,7 @@ def _exec_groupby_agg(t: Table, count, st: _Stage, config):
 def _exec_quantiles(t: Table, count, st: _Stage, config):
     from cuda.radixsort_tpu.ops.aggregate import groupby_quantile
 
-    key, value, qs, names = st.args
+    key, value, qs, names, _max_groups = st.args  # hint is distributed-only
     gk, qcols, cnt = groupby_quantile(t[key], t[value], qs,
                                       valid=_valid_mask(t, count),
                                       config=config)
@@ -656,16 +668,45 @@ def _dist_join_hash(cols, cnt, st, build, ndev, axis_name, config):
 def _dist_quantiles(cols, cnt, st, ndev, axis_name, config):
     """Quantiles are non-decomposable: hash-exchange the raw (key, value)
     rows so each group's full value set lands on one device, then the
-    single-chip op per shard."""
+    single-chip op per shard. With the `max_groups` planner hint the
+    exchange disappears entirely: histogram refinement resolves every
+    (group, q) target with 8 psum'd (targets, 16) histograms — zero row
+    movement (NOTES round-3 queue #5)."""
     from cuda.radixsort_tpu.ops.aggregate import groupby_quantile
     from cuda.radixsort_tpu.parallel.shuffle import (
         _owner_of_keys,
         exchange_rows,
     )
 
-    key, value, qs, names = st.args
+    key, value, qs, names, max_groups = st.args
     rows = next(iter(cols.values())).shape[0]
     valid0 = jnp.arange(rows, dtype=jnp.int32) < cnt
+    if max_groups is not None:
+        import jax
+
+        from cuda.radixsort_tpu import twiddle
+        from cuda.radixsort_tpu.parallel.dselect import quantile_refine_shard
+
+        if (twiddle.bit_width(cols[key].dtype) > 32
+                or twiddle.bit_width(cols[value].dtype) > 32):
+            raise NotImplementedError(
+                "quantiles max_groups hint: <=32-bit key/value dtypes")
+        kb = twiddle.twiddle_in(cols[key]).astype(jnp.uint32)
+        vb = twiddle.twiddle_in(cols[value]).astype(jnp.uint32)
+        gkb, qstack, n_groups = quantile_refine_shard(
+            kb, vb, valid0, qs, max_groups, cols[value].dtype, axis_name)
+        gk = twiddle.twiddle_out(gkb, cols[key].dtype)
+        # the result is replicated (G,); deal slots round-robin across
+        # shards so the plan's sharded-output contract holds
+        slot = jnp.arange(max_groups, dtype=jnp.int32)
+        my = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        mine = ((slot % ndev) == my) & (slot < jnp.minimum(
+            n_groups, max_groups))
+        order = jnp.argsort(jnp.logical_not(mine), stable=True)
+        out = {key: jnp.take(gk, order, axis=0)}
+        for i, nm in enumerate(names):
+            out[nm] = jnp.take(qstack[i], order, axis=0)
+        return out, jnp.sum(mine.astype(jnp.int32))
     dest = jnp.where(valid0, _owner_of_keys(cols[key], ndev), ndev)
     (rk, rv), rvalid = exchange_rows([cols[key], cols[value]], dest, ndev,
                                      axis_name, rows)
@@ -801,11 +842,32 @@ def _dist_groupby_agg(cols, cnt, st, ndev, axis_name, config):
     return out, c2.astype(jnp.int32)
 
 
+# Replicating more than this many bytes per device on an order_by/limit
+# gather is almost certainly a planner misuse (sort the sharded table with
+# parallel.dsort instead of ordering it inside a plan); warn at trace time.
+_GATHER_WARN_BYTES = 256 << 20
+
+
 def _dist_gather(cols, cnt, axis_name):
-    """Gather the sharded running result to a replicated compacted view."""
+    """Gather the sharded running result to a replicated compacted view.
+
+    order_by/limit need a global view; this is intended for POST-aggregation
+    results (small). The gather replicates ndev x padded-shard-rows on every
+    device — guarded by a trace-time warning above _GATHER_WARN_BYTES since
+    an early order_by on a large sharded table would replicate the whole
+    table (VERDICT r2 weak #8)."""
     import jax
 
     rows = next(iter(cols.values())).shape[0]
+    gathered_bytes = rows * sum(int(v.dtype.itemsize) for v in cols.values())
+    if gathered_bytes > _GATHER_WARN_BYTES:
+        import warnings
+
+        warnings.warn(
+            f"distributed plan order_by/limit gathers ~{gathered_bytes >> 20}"
+            " MiB per shard to EVERY device (replicated view); order large"
+            " tables with parallel.dsort before the plan, or move order_by"
+            " after the aggregation", stacklevel=2)
     valid = jnp.arange(rows, dtype=jnp.int32) < cnt
     gvalid = jax.lax.all_gather(valid, axis_name, tiled=True)
     gcols = {k: jax.lax.all_gather(v, axis_name, tiled=True)

@@ -1,0 +1,119 @@
+"""Span-geometry sweep for the big-N bitonic configs (round 3).
+
+The NOTES ceiling derivation puts 2^30 keys 16% above the VPU floor with
+the slack attributed to span-kernel DMA exposure (c=1 trips cost 13.8
+op-units vs 3.3 at c=5). This sweep measures the two big-N contract
+configs under the span knobs:
+
+  RS_SPAN_CMAX       max stages fused per HBM round trip
+  RS_SPAN_DB_PLANES  plane cap for the double-buffered span body
+  RS_SPAN_LOG_BLOCK  sub-block size (smaller -> wider c at equal VMEM)
+  RS_LM              log_merge override (this script's own knob)
+
+Env knobs are read at TRACE time, so each config runs in its own process:
+  python experiments/sweep_span_geometry.py <config>        # one point
+  python experiments/sweep_span_geometry.py --sweep <config> # all points
+configs: keys_1b (2^30 u32 keys), pairs_contract (2^28 4-plane u64+pay),
+         keys_64m (2^26 — fast smoke).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+POINTS = {
+    # (cmax, db_planes, log_block, log_merge or 0=default)
+    "keys_1b": [
+        (5, 2, 17, 0),   # current default
+        (6, 2, 17, 0),
+        (7, 2, 16, 0),
+        (5, 2, 18, 0),
+        (6, 2, 16, 0),
+        (5, 2, 17, 22),  # bigger merge block (r2: lm=22 failed to compile;
+                         # retry now that span bodies changed)
+    ],
+    "pairs_contract": [
+        (3, 2, 17, 0),   # current default (single-buffered span, lm=19)
+        (4, 2, 17, 0),
+        (5, 2, 17, 0),
+        (4, 4, 17, 0),   # double-buffered span at 4 planes (r2: Mosaic
+                         # overflow — retry with current bodies)
+        (4, 2, 16, 0),
+        (3, 2, 17, 20),  # bigger merge block
+    ],
+    "keys_64m": [
+        (5, 2, 17, 0),
+        (6, 2, 17, 0),
+    ],
+}
+
+
+def run_one(config: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    from cuda.radixsort_tpu.kernels.bitonic import sort_planes_bitonic
+    from cuda.radixsort_tpu.utils.profiling import timed_chain
+
+    lm = int(os.environ.get("RS_LM", "0")) or None
+    key = jax.random.PRNGKey(0)
+
+    def rot(y):
+        return (y >> jnp.uint32(7)) | (y << jnp.uint32(25))
+
+    if config.startswith("keys"):
+        n = 1 << (30 if config == "keys_1b" else 26)
+        x = jax.random.bits(key, (n,), jnp.uint32)
+
+        def step(v):
+            return rot(sort_planes_bitonic([v], n_cmp=1, log_merge=lm)[0])
+
+        t = timed_chain(step, x, k=1 if n >= (1 << 30) else 2)
+    else:
+        n = 1 << 28
+        x = jax.random.bits(key, (n,), jnp.uint32)
+
+        def step(v):
+            lo = v * jnp.uint32(2654435761)
+            idx = jnp.arange(v.shape[0], dtype=jnp.uint32)
+            pay = v ^ jnp.uint32(0x9E3779B9)
+            a, b, c, d = sort_planes_bitonic([v, lo, idx, pay], n_cmp=3,
+                                             log_merge=lm)
+            return rot(a ^ d)
+
+        t = timed_chain(step, x, k=1)
+    print(json.dumps({
+        "config": config, "n": n, "ms": round(t * 1e3, 2),
+        "g_per_s": round(n / t / 1e9, 3),
+        "cmax": os.environ.get("RS_SPAN_CMAX", "default"),
+        "db_planes": os.environ.get("RS_SPAN_DB_PLANES", "2"),
+        "log_block": os.environ.get("RS_SPAN_LOG_BLOCK", "17"),
+        "lm": os.environ.get("RS_LM", "default"),
+    }), flush=True)
+
+
+def sweep(config: str) -> None:
+    for cmax, dbp, lb, lm in POINTS[config]:
+        env = dict(os.environ,
+                   RS_SPAN_CMAX=str(cmax), RS_SPAN_DB_PLANES=str(dbp),
+                   RS_SPAN_LOG_BLOCK=str(lb), RS_LM=str(lm))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), config],
+            env=env, capture_output=True, text=True, timeout=3600)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if r.returncode != 0:
+            tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+            print(json.dumps({"config": config, "cmax": cmax,
+                              "db_planes": dbp, "log_block": lb, "lm": lm,
+                              "error": " | ".join(tail)[:300]}), flush=True)
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "--sweep":
+        sweep(sys.argv[2])
+    else:
+        run_one(sys.argv[1])

@@ -479,3 +479,40 @@ def test_query_quantiles_single_and_distributed(mesh, rng):
                                        rtol=1e-5, atol=1e-3)
             seen += 1
     assert seen == uk.shape[0]
+
+
+def test_query_quantiles_max_groups_hint_distributed(mesh, rng):
+    """The max_groups planner hint routes the distributed quantiles stage
+    through histogram refinement (zero row movement) — results must match
+    the raw-row-exchange path and the numpy oracle."""
+    n = 8 * 300 + 5
+    k = rng.integers(0, 11, size=n, dtype=np.uint32)
+    v = rng.integers(0, 1000, size=n).astype(np.int32)
+    t = table(k=jnp.asarray(k), v=jnp.asarray(v))
+
+    q = (Query(t).where(lambda t: t["v"] > 100)
+         .quantiles("k", "v", (0.5, 0.9), max_groups=16))
+    assert "max_groups=16" in q.explain()
+    do, dc, _ = q.run(mesh=mesh)
+    dc = np.asarray(dc)
+
+    mask = v > 100
+    uk = np.unique(k[mask])
+    rows = np.asarray(do["k"]).shape[0] // dc.shape[0]
+    got = {}
+    for d in range(dc.shape[0]):
+        for i in range(d * rows, d * rows + dc[d]):
+            got[int(np.asarray(do["k"])[i])] = (
+                float(np.asarray(do["q50"])[i]),
+                float(np.asarray(do["q90"])[i]))
+    assert sorted(got) == [int(u) for u in uk]
+    for u in uk:
+        grp = v[mask & (k == u)]
+        np.testing.assert_allclose(got[int(u)][0], np.quantile(grp, 0.5),
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(got[int(u)][1], np.quantile(grp, 0.9),
+                                   rtol=1e-5, atol=1e-3)
+
+    # single-chip run ignores the hint but must still be correct
+    so, sc, _ = q.run()
+    assert int(sc) == uk.shape[0]

@@ -36,13 +36,15 @@ POINTS = {
                          # retry now that span bodies changed)
     ],
     "pairs_contract": [
-        (3, 2, 17, 0),   # current default (single-buffered span, lm=19)
-        (4, 2, 17, 0),
-        (5, 2, 17, 0),
-        (4, 4, 17, 0),   # double-buffered span at 4 planes (r2: Mosaic
-                         # overflow — retry with current bodies)
-        (4, 2, 16, 0),
-        (3, 2, 17, 20),  # bigger merge block
+        # round A (measured): (3,2,17)=1179ms (old default), (4,2,17)=1152,
+        # (5,2,17)=1121, (4,4,17)=1081.6 <- DB at 4 planes now compiles,
+        # (4,2,16)=1138, lm=20 still fails to compile.
+        # round B: push the DB win — smaller sub-blocks admit wider
+        # double-buffered spans at the same VMEM (2 x 2^c x blk x 4 planes).
+        (5, 4, 16, 0),   # 64 MB scratch
+        (3, 4, 17, 0),
+        (6, 4, 15, 0),   # 64 MB scratch, 0.125 MB DMAs
+        (4, 4, 16, 0),   # 32 MB scratch
     ],
     "keys_64m": [
         (5, 2, 17, 0),

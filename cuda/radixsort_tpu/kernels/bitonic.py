@@ -674,6 +674,13 @@ def sort_planes_bitonic(planes, *, n_cmp: int = 1, log_tile: int = 16,
     for a stable sort). N must be a power of two >= 2^log_tile (callers pad
     with max-key sentinels).
 
+    CONTRACT for ride-along planes (planes beyond n_cmp): the n_cmp compare
+    planes must form a TOTAL order (include a unique index plane) whenever
+    ride planes are present — on a full compare-tie both sides of a
+    compare-exchange can resolve to the same element, duplicating one ride
+    payload and dropping the other. Every in-repo caller satisfies this
+    (ride planes always travel with an index tiebreak limb).
+
     log_tile: sort-kernel tile (program size grows ~log_tile^2 — Mosaic
     chokes past ~2^17). log_merge: merge-kernel block (program ~log_merge
     stages; VMEM-bound). Cross stages above the merge block run as streaming

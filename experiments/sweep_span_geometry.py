@@ -50,6 +50,13 @@ POINTS = {
         (5, 2, 17, 0),
         (6, 2, 17, 0),
     ],
+    # 3-plane stable u32 pairs at the r1/r2 gate size (2x lax.sort bar)
+    "pairs_25": [
+        (3, 2, 17, 0),   # current default (db off at 3 planes)
+        (4, 3, 17, 0),   # double-buffered spans at 3 planes
+        (5, 3, 16, 0),
+        (4, 3, 16, 0),
+    ],
 }
 
 
@@ -73,6 +80,18 @@ def run_one(config: str) -> None:
             return rot(sort_planes_bitonic([v], n_cmp=1, log_merge=lm)[0])
 
         t = timed_chain(step, x, k=1 if n >= (1 << 30) else 2)
+    elif config == "pairs_25":
+        n = 1 << 25
+        x = jax.random.bits(key, (n,), jnp.uint32)
+
+        def step(v):
+            idx = jnp.arange(n, dtype=jnp.uint32)
+            pay = v ^ jnp.uint32(0x9E3779B9)
+            a, b, c = sort_planes_bitonic([v, idx, pay], n_cmp=2,
+                                          log_merge=lm)
+            return rot(a ^ c)
+
+        t = timed_chain(step, x, k=2)
     else:
         n = 1 << 28
         x = jax.random.bits(key, (n,), jnp.uint32)

@@ -583,14 +583,20 @@ def _cross_span_body_sb(c: int, k: int, log_block: int, base_bit: int,
         cp.wait()
 
 
-def _span_log_block() -> int:
-    """Span sub-block size: 0.5 MB (2^17 elems) sub-blocks — 2x2^c of them
-    stay under VMEM. RS_SPAN_LOG_BLOCK overrides for geometry sweeps (a
-    smaller block admits a wider span c at the same VMEM budget; a larger
-    one amortizes DMA latency over fewer, bigger transfers)."""
+def _span_log_block(n_planes: int = 1) -> int:
+    """Span sub-block size (log elems). RS_SPAN_LOG_BLOCK overrides for
+    geometry sweeps (a smaller block admits a wider span c at the same VMEM
+    budget; a larger one amortizes DMA latency over fewer, bigger
+    transfers). Measured v5e (experiments/sweep_span_geometry, round 3):
+    0.5 MB blocks for 1-2 planes; 0.25 MB for 3+ planes, where the halved
+    block buys a wider double-buffered span (c=5) within the same VMEM —
+    256M 4-plane contract 1179 -> 1067 ms with the c/db defaults below."""
     import os
 
-    return int(os.environ.get("RS_SPAN_LOG_BLOCK", "17"))
+    ov = os.environ.get("RS_SPAN_LOG_BLOCK")
+    if ov:
+        return int(ov)
+    return 17 if n_planes <= 2 else 16
 
 
 
@@ -603,15 +609,18 @@ def _use_xp() -> bool:
 
 
 def _span_c_max(n_planes: int) -> int:
-    """Grouped-span width: 2^c sub-blocks of 0.5 MB per plane (x2 slots
-    when double-buffered) must fit the 128 MiB VMEM alongside the merge
-    kernels' blocks. RS_SPAN_CMAX overrides for sweeps."""
+    """Grouped-span width: 2 slots x 2^c sub-blocks x n_planes of scratch
+    must fit VMEM alongside the span program. RS_SPAN_CMAX overrides for
+    sweeps. Measured v5e (experiments/sweep_span_geometry, round 3): the
+    multi-plane sweet spot is c=5 with 0.25 MB sub-blocks and
+    double-buffered spans (plateau c=4..6 within 0.3%; 64 MB scratch at 4
+    planes); 1-2 planes keep c=5/c=4 at 0.5 MB blocks."""
     import os
 
     ov = os.environ.get("RS_SPAN_CMAX")
     if ov:
         return int(ov)
-    return max(1, 5 - (n_planes - 1).bit_length())
+    return 4 if n_planes == 2 else 5
 
 
 def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
@@ -622,18 +631,18 @@ def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
     nrows = planes[0].shape[0]
     c = log_s_hi - log_s_lo + 1
     # sub-block can't exceed the smallest stride in the span
-    log_block = min(_span_log_block(), log_s_lo)
+    log_block = min(_span_log_block(n_planes), log_s_lo)
     brows = 1 << (log_block - LOG_LANES)
     base_bit = log_s_lo - log_block
     nblocks = nrows // brows
     g = 1 << c
 
     import os
-    # DB doubles the span program size; at 3+ planes that overflows the
-    # Mosaic compiler (measured round 2) — those networks take the
-    # single-buffered body (spans are a small share of multi-plane sorts).
-    # RS_SPAN_DB_PLANES raises the plane cap for retry experiments.
-    db_planes = int(os.environ.get("RS_SPAN_DB_PLANES", "2"))
+    # Double-buffered spans at 3-4 planes overflowed Mosaic in round 2;
+    # with the round-3 bodies they compile AND win (contract sweep: c=4 db
+    # 1081.6 ms vs c=4 sb 1152 ms) — db is now the default at every plane
+    # count. RS_SPAN_DB_PLANES caps the plane count for fallback sweeps.
+    db_planes = int(os.environ.get("RS_SPAN_DB_PLANES", "4"))
     double_buf = (os.environ.get("RS_SPAN_DB", "1") == "1"
                   and n_planes <= db_planes)
     body = _cross_span_body if double_buf else _cross_span_body_sb

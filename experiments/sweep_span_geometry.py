@@ -74,7 +74,22 @@ def run_one(config: str) -> None:
 
     if config.startswith("keys"):
         n = 1 << (30 if config == "keys_1b" else 26)
-        x = jax.random.bits(key, (n,), jnp.uint32)
+        if n >= (1 << 28):
+            # bench.py::gen_chunked — random.bits at 2^30 OOMs via its
+            # generation transients; scan 2^27 chunks into one buffer
+            chunk = 1 << 27
+
+            @jax.jit
+            def fill(buf):
+                def body(i, b):
+                    piece = jax.random.fold_in(key, i)
+                    bits = jax.random.bits(piece, (chunk,), jnp.uint32)
+                    return jax.lax.dynamic_update_slice(b, bits, (i * chunk,))
+                return jax.lax.fori_loop(0, n // chunk, body, buf)
+
+            x = fill(jnp.zeros((n,), jnp.uint32))
+        else:
+            x = jax.random.bits(key, (n,), jnp.uint32)
 
         def step(v):
             return rot(sort_planes_bitonic([v], n_cmp=1, log_merge=lm)[0])

@@ -23,8 +23,8 @@ run_step() {
 
 run_step tpu_check 4000 python scripts/tpu_check.py
 run_step bench 1500 python bench.py
-BENCH_ONLY=scan_by_key,window,outer_join,quantile \
-  run_step bench_suite 2400 python scripts/bench_suite.py
+BENCH_ONLY=scan_by_key,window,outer_join,quantile,sort_pairs \
+  run_step bench_suite 3600 python scripts/bench_suite.py
 
 fails=0
 for i in "${!names[@]}"; do

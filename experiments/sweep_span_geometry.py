@@ -50,12 +50,23 @@ POINTS = {
         (5, 2, 17, 0),
         (6, 2, 17, 0),
     ],
-    # 3-plane stable u32 pairs at the r1/r2 gate size (2x lax.sort bar)
+    # 3-plane stable u32 pairs at the r1/r2 gate size (2x lax.sort bar).
+    # lm=22 compiles with the round-3 bodies (stale r2 limit) and wins
+    # 1-plane at BOTH 2^24 (8.19 ms) and 2^30 (937 ms) — probe lm here.
     "pairs_25": [
-        (3, 2, 17, 0),   # current default (db off at 3 planes)
-        (4, 3, 17, 0),   # double-buffered spans at 3 planes
-        (5, 3, 16, 0),
-        (4, 3, 16, 0),
+        (5, 4, 16, 0),   # baked round-3 defaults (db spans, c=5, lm=20)
+        (5, 4, 16, 21),
+        (5, 4, 16, 22),
+    ],
+    # keys at the 2^24 headline size: does lm=23 beat lm=22's 8.19 ms?
+    "keys_24": [
+        (5, 2, 17, 23),
+    ],
+    # 2-plane (key, idx) stable argsort class @2^25: lm upside?
+    "pairs2_25": [
+        (4, 2, 17, 0),   # baked defaults (2-plane: c=4, lb=17, db)
+        (4, 2, 17, 21),
+        (4, 2, 17, 22),
     ],
 }
 
@@ -73,7 +84,7 @@ def run_one(config: str) -> None:
         return (y >> jnp.uint32(7)) | (y << jnp.uint32(25))
 
     if config.startswith("keys"):
-        n = 1 << (30 if config == "keys_1b" else 26)
+        n = 1 << {"keys_1b": 30, "keys_64m": 26, "keys_24": 24}[config]
         if n >= (1 << 28):
             # bench.py::gen_chunked — random.bits at 2^30 OOMs via its
             # generation transients; scan 2^27 chunks into one buffer
@@ -105,6 +116,16 @@ def run_one(config: str) -> None:
             a, b, c = sort_planes_bitonic([v, idx, pay], n_cmp=2,
                                           log_merge=lm)
             return rot(a ^ c)
+
+        t = timed_chain(step, x, k=2)
+    elif config == "pairs2_25":
+        n = 1 << 25
+        x = jax.random.bits(key, (n,), jnp.uint32)
+
+        def step(v):
+            idx = jnp.arange(n, dtype=jnp.uint32)
+            a, b = sort_planes_bitonic([v, idx], n_cmp=2, log_merge=lm)
+            return rot(a ^ b)
 
         t = timed_chain(step, x, k=2)
     else:

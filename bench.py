@@ -96,22 +96,14 @@ def gen_chunked(logn: int, key) -> jnp.ndarray:
 
 
 def engine_passes(logn: int, log_tile: int = 16, log_merge: int | None = None,
-                  c_max: int = 5) -> int:
-    """HBM round trips of the 1-plane bitonic engine at 2^logn (tile pass +
-    per-level spans and merges) — for the bandwidth accounting."""
-    if log_merge is None:
-        log_merge = 21 if logn >= 26 else 20
-    log_merge = max(min(log_merge, logn), log_tile)
-    passes = 1  # tile sort
-    for k in range(log_tile + 1, logn + 1):
-        if k > log_merge:
-            log_s = k - 1
-            while log_s >= log_merge:
-                c = min(c_max, log_s - log_merge + 1)
-                passes += 1
-                log_s -= c
-        passes += 1  # merge
-    return passes
+                  c_max: int | None = None, n_planes: int = 1) -> int:
+    """HBM round trips of the bitonic engine at 2^logn (tile pass +
+    per-level spans and merges) — for the bandwidth accounting. Derives
+    log_merge / c_max from the engine's own resolved defaults (VERDICT r3
+    #1/#5: no parallel table that can drift from the shipped config)."""
+    from cuda.radixsort_tpu.utils.profiling import bitonic_passes
+    return bitonic_passes(logn, n_planes=n_planes, log_tile=log_tile,
+                          log_merge=log_merge, c_max=c_max)
 
 
 def main():

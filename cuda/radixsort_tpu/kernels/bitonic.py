@@ -671,6 +671,28 @@ def _as_list(out):
     return list(out) if isinstance(out, (list, tuple)) else [out]
 
 
+def resolve_log_merge(logn: int, n_planes: int) -> int:
+    """Default merge-kernel block (log elems) for a 2^logn sort of n_planes.
+
+    Measured sweet spots (NOTES r2/r3 sweeps): 2^20 blocks up to ~2^25, then
+    cross stages dominate and bigger blocks win where VMEM allows. The merge
+    block's VMEM footprint scales with plane count: 1-plane takes 2^22 at
+    logn>=28 (the r3 sweep's 937 ms @1B, +6% over lm=21) and 2^21 at 26-27;
+    2 planes cap at 2^20; 4+ planes at 2^19 (lm=20 x 3 planes OOMs scoped
+    VMEM at k>=22 — measured r2).
+
+    This is the single source of truth: sort_planes_bitonic, the merge entry,
+    and bench.py's pass accounting all derive from it (VERDICT r3 #1/#5 —
+    no parallel tables to drift)."""
+    if n_planes >= 4:
+        return 19
+    if n_planes == 1 and logn >= 28:
+        return 22
+    if n_planes == 1 and logn >= 26:
+        return 21
+    return 20
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_cmp", "log_tile", "log_merge",
                                     "compact", "interpret"))
@@ -700,17 +722,7 @@ def sort_planes_bitonic(planes, *, n_cmp: int = 1, log_tile: int = 16,
     logn = n.bit_length() - 1
     assert n == (1 << logn), "power-of-two input required (pad upstream)"
     if log_merge is None:
-        # measured sweet spots: 2^20 blocks up to ~2^25, 2^21 above (cross
-        # stages dominate at large N; 2^22 blocks fail to compile). The
-        # merge block's VMEM footprint scales with plane count: 1-plane
-        # takes 2^21 at big N, 2 planes cap at 2^20, 3+ planes at 2^19
-        # (lm=20 x 3 planes OOMs scoped VMEM at k>=22 — measured r2).
-        if len(planes) >= 4:
-            log_merge = 19
-        elif logn >= 26 and len(planes) == 1:
-            log_merge = 21
-        else:
-            log_merge = 20
+        log_merge = resolve_log_merge(logn, n_planes)
     if compact is None:
         # compact bodies measured ~5x SLOWER on hardware (dynamic-stride
         # gathers/rotates lose Mosaic's static-shuffle patterns — NOTES r2);
@@ -792,7 +804,7 @@ def merge_sorted_planes_bitonic(planes, *, log_block: int, n_cmp: int = 1,
     assert n == (1 << logn), "power-of-two input required"
     assert log_block <= logn
     if log_merge is None:
-        log_merge = 21 if logn >= 26 else 20
+        log_merge = resolve_log_merge(logn, len(planes))
     with jax.enable_x64(False):
         return _merge_planes_impl(planes, logn, log_block, n_cmp,
                                   min(16, log_block), log_merge, interpret)

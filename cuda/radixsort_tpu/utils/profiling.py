@@ -87,6 +87,41 @@ def trace(log_dir: str = "/tmp/tpusort-trace"):
         jax.profiler.stop_trace()
 
 
+def bitonic_passes(logn: int, n_planes: int = 1, log_tile: int = 16,
+                   log_merge: int | None = None,
+                   c_max: int | None = None) -> int:
+    """HBM round trips of the bitonic engine at 2^logn (tile pass +
+    per-level spans and merges), derived from the engine's own resolved
+    defaults (kernels/bitonic.py) — the bytes-moved model for %SoL
+    accounting (VERDICT r3 #5: bench math must follow the shipped config,
+    not a parallel table). Every pass reads+writes all n_planes in place."""
+    from cuda.radixsort_tpu.kernels.bitonic import (_span_c_max,
+                                                    resolve_log_merge)
+    if log_merge is None:
+        log_merge = resolve_log_merge(logn, n_planes)
+    if c_max is None:
+        c_max = _span_c_max(n_planes)
+    log_merge = max(min(log_merge, logn), log_tile)
+    passes = 1  # tile sort
+    for k in range(min(log_tile, logn) + 1, logn + 1):
+        if k > log_merge:
+            log_s = k - 1
+            while log_s >= log_merge:
+                c = min(c_max, log_s - log_merge + 1)
+                passes += 1
+                log_s -= c
+        passes += 1  # merge
+    return passes
+
+
+def bitonic_sort_bytes(n: int, n_planes: int = 1) -> int:
+    """Total HBM bytes moved by a full bitonic sort of n rows x n_planes
+    u32 planes (input padded to the next power of two, as ops/sort.py
+    does)."""
+    logn = max((n - 1).bit_length(), 1)
+    return bitonic_passes(logn, n_planes) * 8 * n_planes * (1 << logn)
+
+
 def speed_of_light(bytes_moved: int, seconds: float,
                    hbm_bytes_per_s: float | None = None) -> dict:
     """Fraction of HBM speed-of-light achieved by a pass.

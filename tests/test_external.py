@@ -112,3 +112,45 @@ def test_sort_external_pairs_file(tmp_path):
                                   keys[o])
     np.testing.assert_array_equal(np.fromfile(vo, dtype=np.uint32),
                                   vals[o])
+
+
+def test_join_external_chunked_matches_oracle():
+    from cuda.radixsort_tpu.ops.external import join_external
+
+    rng = np.random.default_rng(11)
+    nb, npr = 5_000, 64_123  # npr NOT a chunk multiple: exercises padding
+    bk = rng.permutation(np.arange(2 * nb, dtype=np.uint32))[:nb]
+    bv = rng.integers(-(1 << 20), 1 << 20, size=nb).astype(np.int32)
+    pk = rng.choice(np.arange(2 * nb, dtype=np.uint32), size=npr)
+
+    ok, ov, oi, cnt = join_external(bk, bv, pk, chunk=1 << 14)
+
+    lookup = {int(k): int(v) for k, v in zip(bk, bv)}
+    exp_idx = np.array([i for i, k in enumerate(pk) if int(k) in lookup])
+    assert cnt == len(exp_idx) == len(ok)
+    # probe_idx is globally adjusted and each row matches the oracle value
+    assert sorted(oi.tolist()) == sorted(exp_idx.tolist())
+    np.testing.assert_array_equal(ok, pk[oi])
+    np.testing.assert_array_equal(
+        ov, np.array([lookup[int(k)] for k in pk[oi]], np.int32))
+
+
+def test_join_external_fold_path_counts():
+    from cuda.radixsort_tpu.ops.external import join_external
+
+    rng = np.random.default_rng(12)
+    nb, npr = 3_000, 40_000
+    bk = rng.permutation(np.arange(2 * nb, dtype=np.uint32))[:nb]
+    bv = bk.astype(np.int32)
+    pk = rng.choice(np.arange(2 * nb, dtype=np.uint32), size=npr)
+    total, checksum = join_external(bk, bv, pk, chunk=1 << 13,
+                                    materialize=False)
+    ok, ov, oi, cnt = join_external(bk, bv, pk, chunk=1 << 13)
+    assert total == cnt
+    # checksum is an XOR of per-chunk folds — recompute per chunk
+    folds = 0
+    for lo in range(0, npr, 1 << 13):
+        sel = (oi >= lo) & (oi < lo + (1 << 13))
+        folds ^= ((int(ok[sel].sum(dtype=np.uint32))
+                   ^ int(ov[sel].sum(dtype=np.int32))) & 0xFFFFFFFF)
+    assert int(checksum) == folds

@@ -238,6 +238,69 @@ def groupby_quantile_distributed(keys, values, qs=(0.5,), *, mesh: Mesh,
                                          max_groups=max_groups)
 
 
+def _distinct_padded(bits, invalid, G):
+    """First G distinct values of `bits` (rows with invalid=True excluded),
+    ascending, plus per-slot validity and the true (uncapped) local
+    distinct count. Invalidity rides a separate sort limb — no sentinel
+    bit pattern is reserved. Shared by quantile_refine_shard and the
+    plan's quantile auto-router (distinct_count_capped)."""
+    from cuda.radixsort_tpu.ops.unique import _run_starts
+
+    flag = invalid.astype(jnp.uint32)
+    sf, sb = jax.lax.sort((flag, bits), num_keys=2)
+    starts = _run_starts(sb) & (sf == 0)
+    # first occurrence of a run may be an invalid row shadowing a real
+    # equal key later: runs are (flag-major) sorted, so a run that has
+    # any valid row starts with one — starts & valid is exact.
+    order = jnp.argsort(jnp.logical_not(starts), stable=True)
+    kept = jnp.take(sb, order)
+    cnt = jnp.sum(starts.astype(jnp.int32))
+    slot = jnp.arange(G, dtype=jnp.int32)
+    slotvalid = slot < jnp.minimum(cnt, G)
+    # compaction's tail holds non-start rows (duplicate SMALL keys
+    # first) — force pads to the max bit pattern so the slot array
+    # stays ascending for searchsorted; 'left' still resolves a real
+    # 0xFFFFFFFF group to its (earlier) valid slot.
+    padded = jnp.where(slotvalid, kept[:G], jnp.uint32(0xFFFFFFFF))
+    return padded, slotvalid, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "mesh", "axis_name"))
+def distinct_count_capped(keys: jnp.ndarray, *, cap: int, mesh: Mesh,
+                          axis_name="x"):
+    """Distinct-value count of a sharded array, EXACT while <= cap;
+    any value > cap means "more than cap" (replicated scalar).
+
+    Cost: one local (flag, bits) sort per shard + one (cap,) all_gather —
+    the cheap pre-pass the declarative plan uses to auto-route group-by
+    quantiles onto the zero-row-movement refinement path without a
+    user-supplied max_groups hint (VERDICT r3 #6)."""
+    if twiddle.bit_width(keys.dtype) > 32:
+        raise NotImplementedError("distinct_count_capped: <=32-bit keys")
+    ndev = axis_size(mesh, axis_name)
+    n = keys.shape[0]
+    s = -(-n // ndev)
+    pad = s * ndev - n
+    bits = twiddle.twiddle_in(keys).astype(jnp.uint32)
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros((pad,), jnp.uint32)])
+
+    def shard_fn(b):
+        b = b.reshape(-1)
+        valid = _shard_valid(n, s, axis_name)
+        lk, lval, lcnt = _distinct_padded(b, jnp.logical_not(valid), cap)
+        ak = jax.lax.all_gather(lk, axis_name, tiled=True)
+        av = jax.lax.all_gather(lval, axis_name, tiled=True)
+        _, _, gcnt = _distinct_padded(ak, jnp.logical_not(av), cap)
+        over = jax.lax.psum((lcnt > cap).astype(jnp.int32), axis_name) > 0
+        return jnp.where(over | (gcnt > cap),
+                         jnp.int32(cap + 1), gcnt).reshape(1)
+
+    out = shard_map(shard_fn, mesh=mesh, in_specs=P(axis_name),
+                    out_specs=P(), check_vma=False)(bits)
+    return out[0]
+
+
 def quantile_refine_shard(kb, vb, valid, qs, max_groups, value_dtype,
                           axis_name):
     """Per-shard histogram-refinement group-by quantiles — the core of
@@ -254,7 +317,6 @@ def quantile_refine_shard(kb, vb, valid, qs, max_groups, value_dtype,
     were dropped; the kept slots' quantiles stay exact).
     """
     from cuda.radixsort_tpu.ops.aggregate import _mean_dtype
-    from cuda.radixsort_tpu.ops.unique import _run_starts
 
     G, Q = max_groups, len(qs)
     T = G * Q * 2
@@ -265,33 +327,11 @@ def quantile_refine_shard(kb, vb, valid, qs, max_groups, value_dtype,
     nc = -(-s // C)
     spad = nc * C - s
 
-    def _distinct_padded(bits, invalid):
-        """First G distinct values of `bits` (rows with invalid=True
-        excluded), ascending, plus per-slot validity. Invalidity rides a
-        separate sort limb — no sentinel bit pattern is reserved."""
-        flag = invalid.astype(jnp.uint32)
-        sf, sb = jax.lax.sort((flag, bits), num_keys=2)
-        starts = _run_starts(sb) & (sf == 0)
-        # first occurrence of a run may be an invalid row shadowing a real
-        # equal key later: runs are (flag-major) sorted, so a run that has
-        # any valid row starts with one — starts & valid is exact.
-        order = jnp.argsort(jnp.logical_not(starts), stable=True)
-        kept = jnp.take(sb, order)
-        cnt = jnp.sum(starts.astype(jnp.int32))
-        slot = jnp.arange(G, dtype=jnp.int32)
-        slotvalid = slot < jnp.minimum(cnt, G)
-        # compaction's tail holds non-start rows (duplicate SMALL keys
-        # first) — force pads to the max bit pattern so the slot array
-        # stays ascending for searchsorted; 'left' still resolves a real
-        # 0xFFFFFFFF group to its (earlier) valid slot.
-        padded = jnp.where(slotvalid, kept[:G], jnp.uint32(0xFFFFFFFF))
-        return padded, slotvalid, cnt
-
     # --- replicated global group-key set (<= G per the contract) ---
-    lk, lval, lcnt = _distinct_padded(kb, jnp.logical_not(valid))
+    lk, lval, lcnt = _distinct_padded(kb, jnp.logical_not(valid), G)
     ak = jax.lax.all_gather(lk, axis_name, tiled=True)
     av = jax.lax.all_gather(lval, axis_name, tiled=True)
-    gk, gvalid, gcnt = _distinct_padded(ak, jnp.logical_not(av))
+    gk, gvalid, gcnt = _distinct_padded(ak, jnp.logical_not(av), G)
     # overflow detection: any shard whose LOCAL distinct count exceeds
     # G truncated candidates before the gather, so groups beyond the G
     # key-smallest may be missing or partial (every one of the G

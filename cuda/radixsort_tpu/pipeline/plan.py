@@ -113,7 +113,15 @@ class Query:
         assertion is violated, only the max_groups key-smallest groups are
         returned (use parallel.dselect.groupby_quantile_distributed
         directly to detect truncation via its n_groups output).
-        Single-chip runs ignore the hint."""
+        Single-chip runs ignore the hint.
+
+        Without a hint, distributed runs AUTO-ROUTE: if every earlier
+        stage only filters/projects/adds columns and a cheap capped
+        distinct count on the source key column (one local sort + one
+        (64,) all_gather, run before the plan traces) proves <=64 groups,
+        the refinement path is taken with max_groups=64 — the hint is
+        only needed to raise that bound or when the key column is derived
+        (VERDICT r3 #6)."""
         qs = tuple(float(q) for q in (qs if isinstance(qs, (tuple, list))
                                       else (qs,)))
         if names is None:
@@ -469,6 +477,48 @@ _EXEC = {
 _JOIN_BROADCAST_ROWS = 1 << 20
 
 
+_AUTO_QUANTILE_GROUPS = 64
+
+
+def _auto_route_quantiles(stages, src, mesh, axis_name):
+    """Fill in missing `max_groups` hints on quantiles stages (VERDICT r3
+    #6): when (a) every stage before the quantiles stage only filters rows
+    or adds/projects columns (the group-key set can only SHRINK), (b) the
+    key and value columns come from the source unrewritten with <=32-bit
+    dtypes, and (c) a cheap capped distinct count on the source key column
+    (parallel.dselect.distinct_count_capped — one local sort + one (64,)
+    all_gather, run EAGERLY before the plan traces) proves <=64 distinct
+    groups, the stage takes the zero-row-movement histogram-refinement
+    path with max_groups=64. An explicit hint always wins; an estimate
+    >64 keeps the whole-row exchange (correct at any group count)."""
+    from cuda.radixsort_tpu import twiddle as _tw
+    from cuda.radixsort_tpu.parallel.dselect import distinct_count_capped
+
+    out = []
+    safe = True
+    rewritten: set = set()
+    for st in stages:
+        if st.op == "quantiles" and st.args[4] is None and safe:
+            key, value, qs, names, _ = st.args
+            if (key in src.column_names and value in src.column_names
+                    and key not in rewritten and value not in rewritten
+                    and _tw.bit_width(src[key].dtype) <= 32
+                    and _tw.bit_width(src[value].dtype) <= 32):
+                ng = int(distinct_count_capped(
+                    src[key], cap=_AUTO_QUANTILE_GROUPS, mesh=mesh,
+                    axis_name=axis_name))
+                if ng <= _AUTO_QUANTILE_GROUPS:
+                    st = _Stage("quantiles",
+                                (key, value, qs, names,
+                                 _AUTO_QUANTILE_GROUPS), st.kwargs)
+        if st.op == "with_column":
+            rewritten.add(st.args[0])
+        elif st.op not in ("where", "select"):
+            safe = False
+        out.append(st)
+    return out
+
+
 def _run_distributed(q: Query, mesh, axis_name, config):
     import jax
     from jax.sharding import PartitionSpec as P
@@ -486,9 +536,10 @@ def _run_distributed(q: Query, mesh, axis_name, config):
     n = src.num_rows
     s = -(-n // ndev)
     cols0 = {k: _pad_to(src[k], s * ndev) for k in src.column_names}
+    plan_stages = _auto_route_quantiles(q._stages, src, mesh, axis_name)
     # replicated side inputs (join build tables), passed as explicit args
     reps = []
-    for st in q._stages:
+    for st in plan_stages:
         if st.op == "join":
             b = st.args[0]
             reps.append({k: b[k] for k in b.column_names})
@@ -500,7 +551,7 @@ def _run_distributed(q: Query, mesh, axis_name, config):
         rep = False  # True once a stage gathered to a replicated view
         stats = {}
         rep_iter = iter(rep_tables)
-        for i, st in enumerate(q._stages):
+        for i, st in enumerate(plan_stages):
             if st.op == "join":
                 # build tables ride as explicit replicated args (no closure
                 # capture inside shard_map); replicated-mode joins use the
@@ -557,7 +608,8 @@ def _run_distributed(q: Query, mesh, axis_name, config):
         return out, cnt.reshape(1), stats, jnp.zeros((), jnp.int32)
 
     # detect statically whether the output is replicated (any gather stage)
-    replicated_out = any(st.op in ("order_by", "limit") for st in q._stages)
+    replicated_out = any(st.op in ("order_by", "limit")
+                         for st in plan_stages)
     out_table_spec = P() if replicated_out else P(axis_name)
     cols, counts, stats, _ = shard_map(
         shard_fn, mesh=mesh,

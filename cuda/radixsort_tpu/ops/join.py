@@ -155,8 +155,15 @@ def join(
             key_cols, (posflag, vals), config=cfg)
         skey_cols = tuple(skey_cols)
     else:
+        # posflag is a unique u32 tag (arange | invalid-bit): it serves as
+        # the tie-break comparand itself — 3 planes instead of 4. Within a
+        # key group the order becomes (valid builds, valid probes,
+        # invalids) instead of original interleaving; the scans below only
+        # need valid builds before valid probes (matched/cv) and
+        # group-total counts (right/full), both preserved.
         sk0, (sposflag, svals) = _sort_pairs(key_cols[0], (posflag, vals),
-                                             config=cfg)
+                                             config=cfg,
+                                             unique_leading_payload=True)
         skey_cols = (sk0,)
     skeys = skey_cols if multi else skey_cols[0]
     spos = (sposflag & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
@@ -258,7 +265,10 @@ def _sorted_merge_state(build_keys, build_vals, probe_keys, cfg):
     # position companion instead of (side, orig) — see join() above
     n = nb + np_
     posc = jnp.arange(n, dtype=jnp.uint32)
-    skeys, (sposc, svals) = _sort_pairs(keys, (posc, vals), config=cfg)
+    # posc is strictly increasing: tag-as-tiebreak is bit-identical to the
+    # stable sort, one plane cheaper
+    skeys, (sposc, svals) = _sort_pairs(keys, (posc, vals), config=cfg,
+                                        unique_leading_payload=True)
     spos = sposc.astype(jnp.int32)
     sorig = jnp.maximum(spos - nb, 0)
     sbits = twiddle.twiddle_in(skeys)

@@ -176,12 +176,26 @@ def _sort_limbs(
     limb_bits: list[tuple[int, int]],
     payloads: list[jnp.ndarray],
     cfg: config_lib.SortConfig,
+    stable: bool = True,
+    unique_leading_payload: bool = False,
 ):
-    """Stable LSD sort of uint32 limb columns (least-significant column first).
+    """LSD sort of uint32 limb columns (least-significant column first).
 
     limbs[k] is a (N,) uint32 column; limb_bits[k] = (begin_bit, end_bit) of
     that column that participate in ordering. Unsigned ascending. Returns
-    (limbs, payloads) permuted into sorted order.
+    (limbs, payloads) permuted into sorted order. ``stable=False`` relaxes
+    the equal-key payload order (thrust::sort_by_key semantics, THRUST
+    sort.h smart_sort — the reference's non-stable_ entry points), which
+    drops the index tie-break plane from the bitonic path: one less plane
+    through every compare-exchange stage.
+
+    ``unique_leading_payload=True`` declares that payloads[0] is a UNIQUE
+    uint32 row tag never equal to 0xFFFFFFFF (e.g. the arange-based
+    position companions the join internals carry). The tag then serves as
+    the stability tie-break comparand itself — output is sorted by
+    (key, tag), one plane cheaper than the stable path (no internal index
+    plane). When the tag is strictly increasing in input order this is
+    bit-identical to the stable sort.
     """
     if cfg.engine == "bitonic":
         # full-range pairs with 4-byte payloads ride the multi-plane network:
@@ -190,9 +204,17 @@ def _sort_limbs(
         # Measured v5e: 531 M pairs/s @2^25 = 1.8x over the stable lax.sort
         # path (the r1 fallback). Plane counts > 4 lose VMEM/program budget;
         # bit-range sorts keep lax.sort (they need masked compares).
+        # stable=False skips the index plane entirely: compare-exchange
+        # networks are correct under ties (equal comparands may swap, which
+        # only permutes equal-key payloads) — u32+pay = 2 planes, u64+pay =
+        # 3. Round-3 per-plane accounting (NOTES: +27.9 ms idx compare plane
+        # @2^25) projects ~930 M pairs/s for the 2-plane layout.
         full = all(b == 0 and e == 32 for (b, e) in limb_bits)
         four_byte = all(jnp.dtype(p.dtype).itemsize == 4 for p in payloads)
-        n_total = len(limbs) + 1 + len(payloads)
+        tag = (unique_leading_payload and bool(payloads)
+               and payloads[0].dtype == jnp.uint32)
+        n_total = (len(limbs) + (1 if stable and not tag else 0)
+                   + len(payloads))
         # compiled Pallas needs a TPU; on CPU the network runs only under
         # interpret (and multi-plane interpret is pathologically slow), so
         # plain-CPU bitonic pairs degrade to the stable lax.sort path
@@ -213,15 +235,34 @@ def _sort_limbs(
         if (full and four_byte and payloads and n_total <= 4 and runnable
                 and (projected_win or cfg.interpret)):
             n = limbs[0].shape[0]
-            idx = jnp.arange(n, dtype=jnp.uint32)
             pay_u32 = [p if p.dtype == jnp.uint32 else p.view(jnp.uint32)
                        for p in payloads]
-            planes = list(limbs) + [idx] + pay_u32
-            out = _bitonic_planes(planes, n, n_cmp=len(limbs) + 1, cfg=cfg)
+            if stable and tag:
+                # the caller's unique u32 tag is the tie-break comparand:
+                # no internal index plane (pads stay strictly greatest —
+                # real tags never equal 0xFFFFFFFF)
+                planes = list(limbs) + pay_u32
+                n_cmp = len(limbs) + 1
+            elif stable:
+                idx = jnp.arange(n, dtype=jnp.uint32)
+                planes = list(limbs) + [idx] + pay_u32
+                n_cmp = len(limbs) + 1
+            else:
+                planes = list(limbs) + pay_u32
+                # exact power of two: tie-safe rides (negative n_cmp — the
+                # kernel comparator never exchanges tied rows, bitonic.py
+                # _cmpex_planes). Padded: the 0xFFFFFFFF pad rows would TIE
+                # with real max-key rows and tie-safe can't order them past
+                # the pads, so compare ALL planes instead — pads then tie
+                # only with bit-identical real rows, which are
+                # interchangeable. Both orderings are valid unstable sorts.
+                n_cmp = (-len(limbs) if npad == n else len(planes))
+            out = _bitonic_planes(planes, n, n_cmp=n_cmp, cfg=cfg)
             out_limbs = out[: len(limbs)]
+            skip = len(limbs) + (1 if stable and not tag else 0)
             out_pays = [
                 o if p.dtype == jnp.uint32 else o.view(p.dtype)
-                for o, p in zip(out[len(limbs) + 1:], payloads)
+                for o, p in zip(out[skip:], payloads)
             ]
             return out_limbs, out_pays
         # bit ranges, wide payloads, many columns: stable lax.sort fallback
@@ -367,7 +408,9 @@ def sort(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("descending", "begin_bit", "end_bit", "config")
+    jax.jit,
+    static_argnames=("descending", "begin_bit", "end_bit", "config", "stable",
+                     "unique_leading_payload"),
 )
 def sort_pairs(
     keys: jnp.ndarray,
@@ -377,15 +420,27 @@ def sort_pairs(
     begin_bit: int | None = None,
     end_bit: int | None = None,
     config: config_lib.SortConfig | None = None,
+    stable: bool = True,
+    unique_leading_payload: bool = False,
 ):
-    """Stable key-value radix sort. ``values`` may be any pytree of arrays with
-    leading dim == len(keys). Parity: DeviceRadixSort::SortPairs."""
+    """Key-value radix sort. ``values`` may be any pytree of arrays with
+    leading dim == len(keys). Parity: DeviceRadixSort::SortPairs (stable);
+    ``stable=False`` matches thrust::sort_by_key (THRUST sort.h smart_sort),
+    whose radix path does not promise equal-key payload order — on the
+    bitonic engine that drops the index tie-break plane (u32+pay: 2 planes
+    instead of 3; u64+pay: 3 instead of 4), one less plane through every
+    compare-exchange stage. ``unique_leading_payload=True``: the first
+    flattened payload leaf is a unique u32 row tag (see _sort_limbs) that
+    serves as the stability tie-break itself — stable result, one plane
+    cheaper."""
     cfg = config_lib.resolve(config)
     leaves, treedef = jax.tree_util.tree_flatten(values)
     if keys.shape[0] == 0:
         return keys, values
     limbs, limb_bits = _key_to_limbs(keys, descending, begin_bit, end_bit)
-    limbs, leaves = _sort_limbs(limbs, limb_bits, list(leaves), cfg)
+    limbs, leaves = _sort_limbs(limbs, limb_bits, list(leaves), cfg,
+                                stable=stable,
+                                unique_leading_payload=unique_leading_payload)
     out_keys = _limbs_to_key(limbs, keys.dtype, descending)
     return out_keys, jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -84,18 +84,17 @@ def stable_sort_by_key(keys, values, comp: Callable = less, *, config=None):
 def _sort_by_key(keys, values, comp, *, stable, config):
     prim, desc = primitive_comparator(comp)
     if prim and hasattr(keys, "dtype"):
-        if hasattr(values, "dtype") and values.ndim == 1:
-            from cuda.radixsort_tpu.ops.sort import sort_pairs
+        from cuda.radixsort_tpu.ops.sort import sort_pairs
 
-            return sort_pairs(keys, values, descending=desc, config=config)
-        # zip_iterator analogue: permute every payload column by the argsort
-        from cuda.radixsort_tpu.ops.sort import argsort
-
-        perm = argsort(keys, descending=desc, config=config)
-        ok = jnp.take(keys, perm)
-        ov = jax.tree_util.tree_map(
-            lambda v: jnp.take(v, perm, axis=0), values)
-        return ok, ov
+        # thrust::sort_by_key does not promise equal-key payload order
+        # (THRUST sort.h smart_sort radix path) — the unstable route drops
+        # the bitonic index tie-break plane. Pytree values (zip_iterator
+        # analogue) ride the same sort; the engine gates route wide payload
+        # sets to the stable lax.sort multi-operand path, which beats the
+        # old argsort + per-column jnp.take (TPU gathers run at ~0.07 G
+        # rows/s, probe_pairs_gather r3).
+        return sort_pairs(keys, values, descending=desc, config=config,
+                          stable=stable)
     return comparator_sort(keys, comp, values=values, stable=stable)
 
 

@@ -95,22 +95,15 @@ def bitonic_passes(logn: int, n_planes: int = 1, log_tile: int = 16,
     defaults (kernels/bitonic.py) — the bytes-moved model for %SoL
     accounting (VERDICT r3 #5: bench math must follow the shipped config,
     not a parallel table). Every pass reads+writes all n_planes in place."""
-    from cuda.radixsort_tpu.kernels.bitonic import (_span_c_max,
+    from cuda.radixsort_tpu.kernels.bitonic import (_plan_spans,
                                                     resolve_log_merge)
+    del c_max  # span widths now come from the engine's own planner
     if log_merge is None:
         log_merge = resolve_log_merge(logn, n_planes)
-    if c_max is None:
-        c_max = _span_c_max(n_planes)
     log_merge = max(min(log_merge, logn), log_tile)
     passes = 1  # tile sort
     for k in range(min(log_tile, logn) + 1, logn + 1):
-        if k > log_merge:
-            log_s = k - 1
-            while log_s >= log_merge:
-                c = min(c_max, log_s - log_merge + 1)
-                passes += 1
-                log_s -= c
-        passes += 1  # merge
+        passes += len(_plan_spans(k, log_merge, n_planes)) + 1  # + merge
     return passes
 
 

@@ -145,6 +145,27 @@ def main():
             print(json.dumps({"config": "sort_pairs_u32_134M",
                               "error": str(e)[:120]}))
 
+    # 2b2. thrust::sort_by_key parity (UNSTABLE — smart_sort's radix path
+    #      does not promise equal-key payload order): the tie-safe 2-plane
+    #      network, no idx tie-break plane (VERDICT r3 #3, NOTES r4)
+    if wanted("sort_pairs_unstable"):
+        npu = 1 << (20 if SMALL else 27)
+        xu = jax.random.bits(key, (npu,), jnp.uint32)
+
+        def pairs32_unstable_step(v):
+            pay = v * jnp.uint32(2654435761)
+            ok_, ov_ = rs.sort_pairs(v, pay, stable=False)
+            return rot32(ok_ ^ ov_)
+
+        try:
+            t = timed_chain(pairs32_unstable_step, xu, k=2)
+            report("sort_pairs_u32_unstable_134M", npu, t, CHAIN,
+                   ideal_bytes=16 * npu,
+                   actual_bytes=bitonic_sort_bytes(npu, 2))
+        except Exception as e:
+            print(json.dumps({"config": "sort_pairs_u32_unstable_134M",
+                              "error": str(e)[:120]}))
+
     # 2c. the CONTRACT pairs size: 256M u64+payload pairs (BASELINE.json:8).
     #     4 u32 planes x 2^28 = 4 GB; in-place network passes make it fit.
     if wanted("sort_pairs_contract") and not SMALL:
@@ -255,6 +276,114 @@ def main():
                    ideal_bytes=ideal, actual_bytes=actual)
         except Exception as e:
             print(json.dumps({"config": "join_1b_contract_1Bx100M",
+                              "error": str(e)[:160]}))
+
+    # 3c2. the same contract shape with the 1B probe DEVICE-RESIDENT:
+    #      join_1b above streams host numpy through the axon tunnel, whose
+    #      ~7 MB/s H2D link dominates wall time (measured 662 s for a join
+    #      whose compute is seconds — hbm_frac 0.003). On pod hardware the
+    #      probe arrives over ICI/DCN, not a dev-tunnel; this config prices
+    #      the chip-side compute path: same join_external code, same 8x2^27
+    #      chunk loop, probe generated in HBM (4 GB, fits v5e's 16 GB).
+    if ONLY is not None and wanted("join_1b_dev") and not SMALL:
+        from cuda.radixsort_tpu.ops.join import join as _join_op
+
+        nb1, np1, chunk1 = 100_000_000, 1 << 30, 1 << 27
+        try:
+            bk1 = jax.random.permutation(
+                jax.random.PRNGKey(4),
+                jnp.arange(1 << 27, dtype=jnp.uint32))[:nb1]
+            bv1 = bk1.astype(jnp.int32)
+
+            @jax.jit
+            def join_chunk(bk_, bv_, seed):
+                # probe chunk generated in HBM (a resident 4 GB probe +
+                # the chunk working set OOMs the 16 GB chip)
+                pk_ = (jax.random.bits(jax.random.fold_in(
+                    jax.random.PRNGKey(7), seed), (chunk1,), jnp.uint32)
+                    % jnp.uint32(1 << 27))
+                ok, ov, oi, cnt = _join_op(bk_, bv_, pk_, how="inner")
+                pos = jnp.arange(ok.shape[0], dtype=jnp.int32)
+                live = pos < cnt
+                fold = (jnp.sum(jnp.where(live, ok, 0), dtype=jnp.uint32)
+                        ^ jnp.sum(jnp.where(live, ov, 0),
+                                  dtype=jnp.int32).astype(jnp.uint32))
+                return cnt, fold
+            jax.block_until_ready(join_chunk(bk1, bv1, jnp.uint32(99)))
+            nchunks = np1 // chunk1
+            total = 0
+            chk = np.uint32(0)
+            t0 = time.perf_counter()
+            for s in range(nchunks):
+                cnt, fold = jax.block_until_ready(
+                    join_chunk(bk1, bv1, jnp.uint32(s)))
+                total += int(cnt)
+                chk ^= np.uint32(fold)
+            dt = time.perf_counter() - t0
+            ideal = 8 * (nb1 + np1)
+            actual = nchunks * (bitonic_sort_bytes(1 << 28, 3)
+                                + 10 * 8 * (1 << 28))
+            report("join_1b_device_1Bx100M", np1, dt,
+                   {"build_rows": nb1, "matched": int(total),
+                    "checksum": int(chk),
+                    "method": "wall_clock_end_to_end",
+                    "method_note": "8 device-generated probe chunks of "
+                                   "2^27 vs the resident build; count+"
+                                   "checksum per chunk (the join_1b config "
+                                   "streams host numpy instead and is "
+                                   "bound by the dev-tunnel's ~7 MB/s H2D "
+                                   "link, not the chip)"},
+                   ideal_bytes=ideal, actual_bytes=actual)
+            del bk1, bv1
+        except Exception as e:
+            print(json.dumps({"config": "join_1b_device_1Bx100M",
+                              "error": str(e)[:160]}))
+
+    # 3d. pow2-total join: build 2^24 + probe (2^27 - 2^24) concat to EXACTLY
+    #     2^27 rows — zero padding, so the sort takes the bitonic 3-plane
+    #     path with posflag as the tie-break comparand (r4: join gives
+    #     sort_pairs unique_leading_payload=True; no idx plane). The
+    #     padding-ratio gate sends ratio>=1.6 shapes (join_big's 1.78) to
+    #     lax.sort instead — this config shows the network join ceiling.
+    if wanted("hash_join_pow2") and not SMALL:
+        nb2 = 1 << 24
+        np2 = (1 << 27) - nb2
+        try:
+            pb2 = jax.random.bits(jax.random.PRNGKey(5), (np2,), jnp.uint32)
+
+            def join_pow2_fn(p):
+                b = jnp.arange(nb2, dtype=jnp.uint32)
+                return rs_join(b, b.astype(jnp.int32),
+                               p % jnp.uint32(nb2), how="inner")[3]
+            r = timed_calls(join_pow2_fn, (pb2,), m=2)
+            ideal, actual = join_bytes(nb2, np2)
+            report("hash_join_pow2_118Mx16M", np2, r["seconds"],
+                   {"build_rows": nb2, **CALLS},
+                   ideal_bytes=ideal, actual_bytes=actual)
+            del pb2
+        except Exception as e:
+            print(json.dumps({"config": "hash_join_pow2_118Mx16M",
+                              "error": str(e)[:160]}))
+
+    # 4b. pow2 groupby: 2^24 rows, no padding — the grouping sort takes the
+    #     UNSTABLE tie-safe 2-plane network (aggregations are order-
+    #     independent within groups; r4)
+    if wanted("groupby_pow2") and not SMALL:
+        n24 = 1 << 24
+        try:
+            k24 = jax.random.bits(jax.random.PRNGKey(6), (n24,),
+                                  jnp.uint32) % jnp.uint32(100000)
+
+            def gb24_fn(k_):
+                vals = (k_ % jnp.uint32(199)).astype(jnp.int32) - 100
+                return rs.groupby(k_, vals, agg="sum")[1]
+            r = timed_calls(gb24_fn, (k24,), m=2)
+            report("groupby_pow2_16M", n24, r["seconds"], CALLS,
+                   ideal_bytes=8 * n24,
+                   actual_bytes=bitonic_sort_bytes(n24, 2) + 6 * 8 * n24)
+            del k24
+        except Exception as e:
+            print(json.dumps({"config": "groupby_pow2_16M",
                               "error": str(e)[:160]}))
 
     # 4. group-by sum over Zipf-skewed keys

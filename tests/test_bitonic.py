@@ -140,3 +140,84 @@ def test_merge_sorted_blocks_two_planes_interpret():
     o = np.lexsort((v, k))
     np.testing.assert_array_equal(np.asarray(ok), k[o])
     np.testing.assert_array_equal(np.asarray(ov), v[o])
+
+
+# --- unstable pairs: tie-safe ride planes (negative n_cmp, round 4) --------
+
+
+def _check_unstable_pairs(k, v, ok, ov):
+    """ok must be sorted; (ok, ov) must be a permutation of (k, v) pairs."""
+    k, v, ok, ov = map(np.asarray, (k, v, ok, ov))
+    assert (ok[:-1] <= ok[1:]).all() if len(ok) else True
+    got = sorted(zip(ok.tolist(), ov.tolist()))
+    want = sorted(zip(k.tolist(), v.tolist()))
+    assert got == want
+
+
+def test_unstable_pairs_tie_safe_pow2():
+    # power-of-two size => tie-safe negative-n_cmp path (no pads); heavy
+    # duplicates force comparand ties at every network level
+    rng = np.random.default_rng(5)
+    n = 1 << 11
+    k = rng.integers(0, 8, n).astype(np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    ok, ov = rs.sort_pairs(jnp.asarray(k), jnp.asarray(v), config=BITONIC,
+                           stable=False)
+    _check_unstable_pairs(k, v, ok, ov)
+
+
+def test_unstable_pairs_padded_all_compare():
+    # non-power-of-two => all-compare path; max-key rows tie with the
+    # 0xFFFFFFFF pad rows' key plane, the payload comparand disambiguates
+    rng = np.random.default_rng(6)
+    n = 1500
+    k = rng.integers(0, 4, n).astype(np.uint32)
+    k[rng.integers(0, n, 200)] = np.uint32(0xFFFFFFFF)
+    v = np.arange(n, dtype=np.uint32)
+    ok, ov = rs.sort_pairs(jnp.asarray(k), jnp.asarray(v), config=BITONIC,
+                           stable=False)
+    _check_unstable_pairs(k, v, ok, ov)
+
+
+def test_unstable_pairs_u64_tie_safe():
+    rng = np.random.default_rng(7)
+    n = 1 << 10
+    k = (rng.integers(0, 4, n).astype(np.uint64) << np.uint64(32)) | np.uint64(7)
+    v = np.arange(n, dtype=np.uint32)
+    ok, ov = rs.sort_pairs(jnp.asarray(k), jnp.asarray(v), config=BITONIC,
+                           stable=False)
+    k2, v2, ok2, ov2 = (np.asarray(x) for x in (k, v, ok, ov))
+    assert (ok2[:-1] <= ok2[1:]).all()
+    assert sorted(zip(ok2.tolist(), ov2.tolist())) == sorted(
+        zip(k2.tolist(), v2.tolist()))
+
+
+def test_unstable_pairs_constant_keys_is_permutation():
+    # all comparands tie everywhere: tie-safe must never exchange, so the
+    # payload plane must come back exactly unchanged (vs the positive-n_cmp
+    # duplicate/loss failure mode)
+    n = 1 << 10
+    k = np.full(n, 42, np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    ok, ov = rs.sort_pairs(jnp.asarray(k), jnp.asarray(v), config=BITONIC,
+                           stable=False)
+    np.testing.assert_array_equal(np.asarray(ok), k)
+    assert np.array_equal(np.sort(np.asarray(ov)), v)
+
+
+def test_stable_pairs_unique_tag_matches_stable():
+    # unique_leading_payload: a strictly-increasing u32 tag as the tie-break
+    # comparand must reproduce the stable sort bit-for-bit, one plane cheaper
+    rng = np.random.default_rng(8)
+    n = 1 << 11
+    k = rng.integers(0, 16, n).astype(np.uint32)
+    tag = np.arange(n, dtype=np.uint32)
+    pay = rng.integers(0, 2**32, n).astype(np.uint32)
+    ok, (otag, opay) = rs.sort_pairs(jnp.asarray(k), (jnp.asarray(tag),
+                                                      jnp.asarray(pay)),
+                                     config=BITONIC,
+                                     unique_leading_payload=True)
+    perm = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), k[perm])
+    np.testing.assert_array_equal(np.asarray(otag), tag[perm])
+    np.testing.assert_array_equal(np.asarray(opay), pay[perm])

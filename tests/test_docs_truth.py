@@ -85,3 +85,13 @@ def test_bench_passes_derive_from_resolver(monkeypatch):
         assert bench.engine_passes(logn) == passes_with(logn, lm)
     # and the 1B point actually reflects lm=22 (fewer HBM trips than lm=21)
     assert bench.engine_passes(30) < passes_with(30, 21)
+
+
+def test_span_plan_default_is_fixed(monkeypatch):
+    # NOTES r4 "Span-plan sweep: measured NEGATIVE": adaptive planning is
+    # env-gated, NOT the default (it regressed 2^24 by 3.7% on chip)
+    monkeypatch.delenv("RS_SPAN_PLAN", raising=False)
+    assert bitonic._span_plan_mode() == "fixed"
+    # and the fixed plan reproduces the round-3 geometry exactly
+    spans = bitonic._plan_spans(24, 20, 1)
+    assert spans == [(23, 20, 17)]

@@ -623,13 +623,15 @@ def sort_large(
     return twiddle.twiddle_out(out_bits[:n], keys.dtype, descending=descending)
 
 
-@functools.partial(jax.jit, static_argnames=("descending", "config"))
+@functools.partial(jax.jit, static_argnames=("descending", "config",
+                                              "stable"))
 def sort_struct(
     key_columns,
     values=None,
     *,
     descending: bool = False,
     config: config_lib.SortConfig | None = None,
+    stable: bool = True,
 ):
     """Stable lexicographic sort by a sequence of key columns, most
     significant first — the decomposer protocol for user-defined struct
@@ -641,6 +643,10 @@ def sort_struct(
     dtype each (mixed dtypes fine — each column twiddles independently).
     values: optional pytree of payload columns. Returns (sorted key columns
     as a tuple, sorted values) or just the tuple when values is None.
+    ``stable=False`` relaxes equal-key payload order (thrust::sort_by_key
+    semantics) — on the bitonic engine the tie-safe comparator drops the
+    index plane, e.g. u64-as-(hi, lo) + one payload runs 3 planes. This is
+    the u64 pairs route on x64-off backends (np.uint64 would truncate).
     """
     cols = list(key_columns)
     if not cols:
@@ -653,7 +659,8 @@ def sort_struct(
         limbs += l
         limb_bits += b
     leaves, treedef = jax.tree_util.tree_flatten(values)
-    limbs, leaves = _sort_limbs(limbs, limb_bits, list(leaves), cfg)
+    limbs, leaves = _sort_limbs(limbs, limb_bits, list(leaves), cfg,
+                                stable=stable)
     out_cols, i = [], 0
     for col, span in zip(cols, spans):
         out_cols.append(_limbs_to_key(limbs[i:i + span], col.dtype, descending))

@@ -106,6 +106,37 @@ def pairs_3plane_network_stable():
 
 
 @check
+def pairs_unstable_tie_safe():
+    # r4: stable=False drops the idx plane (tie-safe comparator, negative
+    # n_cmp). u32 = the k==1 neq shortcut; u64 = the k>=2 lex chain whose
+    # interpret twin is a CPU-compile cliff — THIS is its bit-level check.
+    n = 1 << 20
+    ku = rng.integers(0, 1 << 6, size=n).astype(np.uint32)  # dup-heavy
+    vu = np.arange(n, dtype=np.uint32)
+    gk, gv = rs.sort_pairs(jnp.asarray(ku), jnp.asarray(vu), stable=False)
+    gkn, gvn = np.asarray(gk), np.asarray(gv)
+    ok_u32 = ((gkn[:-1] <= gkn[1:]).all()
+              and np.array_equal(np.sort(gvn), vu)
+              and np.array_equal(ku[gvn], gkn))
+    # the k>=2 lex chain via explicit (hi, lo) planes — this environment
+    # traces with x64 OFF, so jnp.asarray(np.uint64) would silently
+    # truncate to u32 (the first version of this check did exactly that
+    # and compared a u32 sort against a u64 oracle)
+    from cuda.radixsort_tpu.kernels.bitonic import sort_planes_bitonic
+
+    lo = rng.integers(0, 4, size=n).astype(np.uint32)
+    ghi, glo, gpay = sort_planes_bitonic(
+        [jnp.asarray(ku), jnp.asarray(lo), jnp.asarray(vu)], n_cmp=-2)
+    hn, ln, pn = np.asarray(ghi), np.asarray(glo), np.asarray(gpay)
+    key2 = (hn.astype(np.uint64) << np.uint64(32)) | ln
+    want = (ku.astype(np.uint64) << np.uint64(32)) | lo
+    ok_u64 = ((key2[:-1] <= key2[1:]).all()
+              and np.array_equal(np.sort(pn), vu)
+              and np.array_equal(want[pn], key2))
+    return bool(ok_u32 and ok_u64)
+
+
+@check
 def filter_2bit_stage():
     from cuda.radixsort_tpu.ops.filter import filter_columns
     x = rng.integers(0, 2**32, size=1 << 20, dtype=np.uint32)

@@ -179,13 +179,45 @@ def test_unstable_pairs_padded_all_compare():
     _check_unstable_pairs(k, v, ok, ov)
 
 
-def test_unstable_pairs_u64_tie_safe():
+def test_cmpex_planes_tie_safe_chain():
+    # the k>=2 tie-safe lex chain (negative n_cmp), unit-tested directly —
+    # pure jnp, no kernel: a 3-plane interpret sort is a pre-existing
+    # CPU-compile cliff (minutes at n=256), so the u64 unstable pairs path
+    # is chip-verified in scripts/tpu_check.py instead.
+    from cuda.radixsort_tpu.kernels.bitonic import _cmpex_planes
+
+    # rows: (hi, lo) comparands + ride. pairs (mine vs partner):
+    #   tie       -> both sides keep their own ride
+    #   mine < p  -> dirhi side takes partner, other keeps
+    #   mine > p  -> dirhi side keeps, other takes partner
+    hi_m = jnp.asarray([1, 1, 2], jnp.int32)
+    lo_m = jnp.asarray([5, 5, 5], jnp.int32)
+    rid_m = jnp.asarray([10, 11, 12], jnp.int32)
+    hi_p = jnp.asarray([1, 1, 1], jnp.int32)
+    lo_p = jnp.asarray([5, 7, 5], jnp.int32)
+    rid_p = jnp.asarray([20, 21, 22], jnp.int32)
+    for dirhi, want in [
+        (True, [10, 21, 12]),   # max side: tie keep, lt take, gt keep
+        (False, [10, 11, 22]),  # min side: tie keep, lt keep, gt take
+    ]:
+        out = _cmpex_planes([hi_m, lo_m, rid_m], [hi_p, lo_p, rid_p],
+                            jnp.full((3,), dirhi), -2)
+        np.testing.assert_array_equal(np.asarray(out[2]), want)
+    # and the positive-n_cmp path is unchanged: tie on the min side TAKES
+    # the partner (the documented total-order requirement)
+    out = _cmpex_planes([hi_m, lo_m, rid_m], [hi_p, lo_p, rid_p],
+                        jnp.full((3,), False), 2)
+    assert int(np.asarray(out[2])[0]) == 20
+
+
+def test_unstable_pairs_u64_semantics_xla_fallback():
+    # end-to-end u64 stable=False on the lax.sort fallback path (plain CPU,
+    # no interpret): same public semantics, fast to run
     rng = np.random.default_rng(7)
-    n = 1 << 10
+    n = 1000
     k = (rng.integers(0, 4, n).astype(np.uint64) << np.uint64(32)) | np.uint64(7)
     v = np.arange(n, dtype=np.uint32)
-    ok, ov = rs.sort_pairs(jnp.asarray(k), jnp.asarray(v), config=BITONIC,
-                           stable=False)
+    ok, ov = rs.sort_pairs(jnp.asarray(k), jnp.asarray(v), stable=False)
     k2, v2, ok2, ov2 = (np.asarray(x) for x in (k, v, ok, ov))
     assert (ok2[:-1] <= ok2[1:]).all()
     assert sorted(zip(ok2.tolist(), ov2.tolist())) == sorted(
@@ -221,3 +253,21 @@ def test_stable_pairs_unique_tag_matches_stable():
     np.testing.assert_array_equal(np.asarray(ok), k[perm])
     np.testing.assert_array_equal(np.asarray(otag), tag[perm])
     np.testing.assert_array_equal(np.asarray(opay), pay[perm])
+
+
+def test_sort_struct_unstable_semantics():
+    # u64-as-(hi, lo) struct sort with stable=False — the u64 pairs route on
+    # x64-off backends; xla fallback on plain CPU, bitonic tie-safe on chip
+    rng = np.random.default_rng(9)
+    n = 1200
+    hi = rng.integers(0, 4, n).astype(np.uint32)
+    lo = rng.integers(0, 4, n).astype(np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    (ohi, olo), ov = rs.sort_struct((jnp.asarray(hi), jnp.asarray(lo)),
+                                    jnp.asarray(v), stable=False)
+    ohn, oln, ovn = np.asarray(ohi), np.asarray(olo), np.asarray(ov)
+    key = (ohn.astype(np.uint64) << np.uint64(32)) | oln
+    want = (hi.astype(np.uint64) << np.uint64(32)) | lo
+    assert (key[:-1] <= key[1:]).all()
+    assert np.array_equal(np.sort(ovn), v)
+    assert np.array_equal(want[ovn], key)

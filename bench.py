@@ -1,10 +1,23 @@
-"""Benchmark harness — prints ONE JSON line with the headline metric.
+"""Benchmark harness — prints complete JSON record lines (driver reads tail).
 
 Metric (BASELINE.json:2): keys/s/chip sorting uint32, reported BOTH at 16M
 (2^24) and at the contract's 1B size (2^30) — the bitonic engine is
 O(n log^2 n), so the 1B number is the honest one (VERDICT r1 #1 demanded it
 in the headline). Baseline comparator for vs_baseline stays XLA's own
 `jnp.sort` at 2^24 — the thing a JAX user would use today.
+
+Un-killable protocol (VERDICT r4 #1 — round 4 recorded rc=124/null because
+the single JSON line printed only after the 1B leg's cold compile):
+  1. A COMPLETE record (metric/value/unit/vs_baseline + %SoL) is printed and
+     flushed IMMEDIATELY after the 2^24 leg.
+  2. The 1B leg then runs and prints a SECOND, superset record as the final
+     line. Whichever line the driver parses (first or last), it gets a valid
+     record.
+  3. A total-runtime watchdog (env BENCH_TIME_BUDGET, seconds) fires os._exit(0)
+     once the budget is spent — the 2^24 line is already on stdout, so a slow
+     1B compile degrades the record instead of nulling the round.
+  4. The persistent XLA compilation cache (.jax_cache/) is enabled so the
+     driver's run reuses the builder's compiles.
 
 Speed-of-light accounting (BASELINE.md): the 3-kernel radix model moves
 48 B/key => ~17 G keys/s on v5e's ~820 GB/s HBM. `sol_pct_3kernel` reports
@@ -27,6 +40,24 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass  # older jax without the knobs: run uncached rather than die
+
+_T0 = time.monotonic()
+_PRINTED = {}
+
+
+def _emit(rec):
+    """Print a complete record line and remember it for the watchdog."""
+    _PRINTED.clear()
+    _PRINTED.update(rec)
+    print(json.dumps(rec), flush=True)
 
 
 def _backend_watchdog(seconds: float | None = None):
@@ -54,7 +85,37 @@ def _backend_watchdog(seconds: float | None = None):
         os._exit(2)
 
 
+def _budget_watchdog():
+    """Total-runtime budget: once spent, exit 0 with whatever record is
+    already on stdout (annotated) instead of letting the driver's timeout
+    turn the round's benchmark into rc=124/null."""
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", 2100))
+
+    def reaper():
+        while True:
+            left = budget - (time.monotonic() - _T0)
+            if left <= 0:
+                break
+            time.sleep(min(left, 5))
+        if _PRINTED:
+            rec = dict(_PRINTED)
+            rec["note"] = (f"time budget {budget:.0f}s exhausted; "
+                           "later legs skipped")
+            print(json.dumps(rec), flush=True)
+        else:
+            print(json.dumps({
+                "metric": "u32_sort_keys_per_s_per_chip", "value": 0,
+                "unit": "keys/s", "vs_baseline": 0,
+                "error": f"time budget {budget:.0f}s exhausted before "
+                         "first leg finished",
+            }), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=reaper, daemon=True).start()
+
+
 _backend_watchdog()
+_budget_watchdog()
 
 N = int(os.environ.get("BENCH_N", 1 << 24))
 K = int(os.environ.get("BENCH_K", 8))
@@ -96,14 +157,14 @@ def gen_chunked(logn: int, key) -> jnp.ndarray:
 
 
 def engine_passes(logn: int, log_tile: int = 16, log_merge: int | None = None,
-                  c_max: int | None = None, n_planes: int = 1) -> int:
+                  n_planes: int = 1) -> int:
     """HBM round trips of the bitonic engine at 2^logn (tile pass +
     per-level spans and merges) — for the bandwidth accounting. Derives
-    log_merge / c_max from the engine's own resolved defaults (VERDICT r3
+    log_merge from the engine's own resolved defaults (VERDICT r3
     #1/#5: no parallel table that can drift from the shipped config)."""
     from cuda.radixsort_tpu.utils.profiling import bitonic_passes
     return bitonic_passes(logn, n_planes=n_planes, log_tile=log_tile,
-                          log_merge=log_merge, c_max=c_max)
+                          log_merge=log_merge)
 
 
 def main():
@@ -137,18 +198,20 @@ def main():
         "hbm_frac": round(
             engine_passes(logn) * 8 * N / t_ours / (HBM_GBPS * 1e9), 3),
     }
+    # complete record on stdout NOW — the 1B leg can no longer null the round
+    _emit(rec)
 
     if not SKIP_1B:
         del keys
         keys_1b = gen_chunked(30, jax.random.PRNGKey(1))
         t_1b = timed_chain(ours, keys_1b, k=2)
+        rec = dict(rec)
         rec["value_1b"] = round((1 << 30) / t_1b, 1)
         rec["sol_pct_3kernel_1b"] = round(
             100.0 * (1 << 30) / t_1b / 17e9, 2)
         rec["hbm_frac_1b"] = round(
             engine_passes(30) * 8 * (1 << 30) / t_1b / (HBM_GBPS * 1e9), 3)
-
-    print(json.dumps(rec))
+        _emit(rec)
 
 
 if __name__ == "__main__":

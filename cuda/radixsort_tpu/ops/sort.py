@@ -633,11 +633,12 @@ def sort_struct(
     config: config_lib.SortConfig | None = None,
     stable: bool = True,
 ):
-    """Stable lexicographic sort by a sequence of key columns, most
-    significant first — the decomposer protocol for user-defined struct
+    """Lexicographic sort (stable by default) by a sequence of key columns,
+    most significant first — the decomposer protocol for user-defined struct
     keys (reference: CUB ``util_type.cuh:528-567`` ``traits_t<T,false>`` /
     ``custom_digit_extractor_t``, where a custom type sorts by a tuple of
-    its arithmetic members).
+    its arithmetic members). ``stable=False`` drops the index tie-break
+    plane (thrust::sort_by_key semantics for struct keys).
 
     key_columns: sequence of equal-length 1-D arrays, any supported key
     dtype each (mixed dtypes fine — each column twiddles independently).

@@ -84,8 +84,17 @@ def stable_sort_by_key(keys, values, comp: Callable = less, *, config=None):
 def _sort_by_key(keys, values, comp, *, stable, config):
     prim, desc = primitive_comparator(comp)
     if prim and hasattr(keys, "dtype"):
-        from cuda.radixsort_tpu.ops.sort import sort_pairs
+        from cuda.radixsort_tpu.ops.sort import argsort, sort_pairs
 
+        # sort_pairs rides flat u32 planes through the engines, so every
+        # flattened value leaf must be rank-1; leaves with trailing dims
+        # (e.g. an (N, 3) point column) take the argsort + take(axis=0)
+        # permutation route instead (ADVICE r4).
+        leaves = jax.tree_util.tree_leaves(values)
+        if any(getattr(v, "ndim", 1) != 1 for v in leaves):
+            perm = argsort(keys, descending=desc, config=config)
+            return keys[perm], jax.tree_util.tree_map(
+                lambda v: jnp.take(v, perm, axis=0), values)
         # thrust::sort_by_key does not promise equal-key payload order
         # (THRUST sort.h smart_sort radix path) — the unstable route drops
         # the bitonic index tie-break plane. Pytree values (zip_iterator

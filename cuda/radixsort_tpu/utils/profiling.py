@@ -88,16 +88,16 @@ def trace(log_dir: str = "/tmp/tpusort-trace"):
 
 
 def bitonic_passes(logn: int, n_planes: int = 1, log_tile: int = 16,
-                   log_merge: int | None = None,
-                   c_max: int | None = None) -> int:
+                   log_merge: int | None = None) -> int:
     """HBM round trips of the bitonic engine at 2^logn (tile pass +
     per-level spans and merges), derived from the engine's own resolved
     defaults (kernels/bitonic.py) — the bytes-moved model for %SoL
     accounting (VERDICT r3 #5: bench math must follow the shipped config,
-    not a parallel table). Every pass reads+writes all n_planes in place."""
+    not a parallel table). Every pass reads+writes all n_planes in place.
+    Span widths come from the engine's own planner; there is no c_max
+    override (ADVICE r4: the old parameter was silently discarded)."""
     from cuda.radixsort_tpu.kernels.bitonic import (_plan_spans,
                                                     resolve_log_merge)
-    del c_max  # span widths now come from the engine's own planner
     if log_merge is None:
         log_merge = resolve_log_merge(logn, n_planes)
     log_merge = max(min(log_merge, logn), log_tile)

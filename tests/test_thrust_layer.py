@@ -154,6 +154,24 @@ def test_thrust_sort_by_key_variants(rng):
                                   v.astype(np.float32)[o])
 
 
+def test_thrust_sort_by_key_2d_values(rng):
+    """Values with trailing dims (an (N, 3) point column) take the
+    argsort + take(axis=0) route (ADVICE r4: sort_pairs planes are rank-1
+    only and crashed on 2-D leaves)."""
+    k = rng.integers(0, 2**32, size=700, dtype=np.uint64).astype(np.uint32)
+    pts = rng.standard_normal((700, 3)).astype(np.float32)
+    o = np.argsort(k, kind="stable")
+    ok, opts = thrust.sort_by_key(jnp.asarray(k), jnp.asarray(pts))
+    np.testing.assert_array_equal(np.asarray(ok), k[o])
+    np.testing.assert_array_equal(np.asarray(opts), pts[o])
+    # mixed pytree: one flat leaf, one 2-D leaf
+    v = rng.integers(0, 2**31, size=700).astype(np.int32)
+    ok, ovt = thrust.stable_sort_by_key(
+        jnp.asarray(k), {"v": jnp.asarray(v), "pts": jnp.asarray(pts)})
+    np.testing.assert_array_equal(np.asarray(ovt["v"]), v[o])
+    np.testing.assert_array_equal(np.asarray(ovt["pts"]), pts[o])
+
+
 def test_thrust_is_sorted(rng):
     x = np.sort(rng.integers(0, 100, size=500, dtype=np.uint32))
     assert bool(thrust.is_sorted(jnp.asarray(x)))

@@ -114,13 +114,13 @@ def _budget_watchdog():
     threading.Thread(target=reaper, daemon=True).start()
 
 
-_backend_watchdog()
-_budget_watchdog()
-
 N = int(os.environ.get("BENCH_N", 1 << 24))
 K = int(os.environ.get("BENCH_K", 8))
 SKIP_1B = os.environ.get("BENCH_SKIP_1B") == "1"
+# Speed-of-light constants — docs-truth-pinned to utils.profiling's table
+# (tests/test_docs_truth.py): v5e HBM and the 48 B/key 3-kernel model.
 HBM_GBPS = 820.0
+SOL_3KERNEL_KEYS_PER_S = 17e9
 
 
 def timed_chain(step, x0, k=K):
@@ -168,6 +168,8 @@ def engine_passes(logn: int, log_tile: int = 16, log_merge: int | None = None,
 
 
 def main():
+    _backend_watchdog()
+    _budget_watchdog()
     import cuda.radixsort_tpu as rs
 
     logn = N.bit_length() - 1
@@ -194,7 +196,8 @@ def main():
         "value": round(keys_per_s, 1),
         "unit": "keys/s",
         "vs_baseline": round(t_base / t_ours, 4),
-        "sol_pct_3kernel": round(100.0 * keys_per_s / 17e9, 2),
+        "sol_pct_3kernel": round(
+            100.0 * keys_per_s / SOL_3KERNEL_KEYS_PER_S, 2),
         "hbm_frac": round(
             engine_passes(logn) * 8 * N / t_ours / (HBM_GBPS * 1e9), 3),
     }
@@ -208,7 +211,7 @@ def main():
         rec = dict(rec)
         rec["value_1b"] = round((1 << 30) / t_1b, 1)
         rec["sol_pct_3kernel_1b"] = round(
-            100.0 * (1 << 30) / t_1b / 17e9, 2)
+            100.0 * (1 << 30) / t_1b / SOL_3KERNEL_KEYS_PER_S, 2)
         rec["hbm_frac_1b"] = round(
             engine_passes(30) * 8 * (1 << 30) / t_1b / (HBM_GBPS * 1e9), 3)
         _emit(rec)

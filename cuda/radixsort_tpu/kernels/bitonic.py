@@ -425,29 +425,34 @@ def _tile_call(body, n_planes: int, nrows: int, rows_per_tile: int,
 
 
 def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
-                     brows: int, n_planes: int, n_cmp: int, *refs):
+                     brows: int, n_planes: int, n_cmp: int, nslots: int,
+                     *refs):
     """Manual-DMA butterfly: c consecutive cross stages in ONE HBM round
     trip. Each grid step owns a group of 2^c blocks (those connected by the
     c strides), stages them through VMEM, compare-exchanges slot pairs, and
     writes every member back — N read + N write for c stages, vs 3N per
     stage for the single-stage pair kernel.
 
-    DOUBLE-BUFFERED across grid steps (VERDICT r1 #1a): scratch holds two
-    slots; step p waits step p-1's writeback, prefetches step p+1's input,
-    then computes on the input prefetched at step p-1 — DMA in/out overlap
-    the butterfly compute instead of serializing with it. Member sets of
-    different grid steps partition the rows, so the in-place aliasing stays
-    hazard-free.
+    MULTI-BUFFERED across grid steps (VERDICT r1 #1a; r4 #3 deepened 2→N
+    slots): scratch holds `nslots` slots; step p reclaims the slot last
+    used by step p-(nslots-1) (waiting that step's writeback), prefetches
+    step p+1's input into it, then computes on the input prefetched at
+    step p-1. With nslots=2 the reclaim wait (out of step p-1, started one
+    step ago) sits on the critical path ahead of in(p+1); with nslots=3 the
+    reclaimed slot's writeback started TWO steps ago and is long drained —
+    per-step cost drops from max(compute, out-tail + in) toward
+    max(compute, DMA bandwidth). Member sets of different grid steps
+    partition the rows, so the in-place aliasing stays hazard-free.
     """
     ins = refs[:n_planes]
     outs = refs[n_planes:2 * n_planes]
-    scratch = refs[2 * n_planes:3 * n_planes]   # (2*g*brows, 128) each
+    scratch = refs[2 * n_planes:3 * n_planes]   # (nslots*g*brows, 128) each
     insem, outsem = refs[3 * n_planes], refs[3 * n_planes + 1]
     g = 1 << c
     p = pl.program_id(0)
     nt = pl.num_programs(0)
-    slot = jax.lax.rem(p, 2)
-    other = 1 - slot
+    slot = jax.lax.rem(p, nslots)
+    reclaim = jax.lax.rem(p + 1, nslots)   # slot of step p+1 == p-(nslots-1)
 
     def member(step, m):
         low = step & ((1 << base_bit) - 1) if base_bit else 0
@@ -498,16 +503,16 @@ def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
         for cp in in_copies(p, slot):
             cp.start()
 
-    # reclaim the other slot: wait for step p-1's writeback before
+    # reclaim the next slot: wait for step p-(nslots-1)'s writeback before
     # prefetching step p+1 into it (sems persist across sequential steps)
-    @pl.when(p > 0)
+    @pl.when(p >= nslots - 1)
     def _():
-        for cp in out_copies(p - 1, other):
+        for cp in out_copies(p - (nslots - 1), reclaim):
             cp.wait()
 
     @pl.when(p + 1 < nt)
     def _():
-        for cp in in_copies(p + 1, other):
+        for cp in in_copies(p + 1, reclaim):
             cp.start()
 
     # wait for this step's input (started at step p-1, or just above for 0)
@@ -547,11 +552,122 @@ def _cross_span_body(c: int, k: int, log_block: int, base_bit: int,
     for cp in out_copies(p, slot):
         cp.start()
 
-    # epilogue: drain the final writeback
+    # epilogue: drain every still-outstanding writeback (steps p-nslots+2
+    # .. p; earlier ones were waited by the reclaim above)
     @pl.when(p == nt - 1)
     def _():
-        for cp in out_copies(p, slot):
+        for d in range(nslots - 1):
+            @pl.when(p >= d)
+            def _(d=d):
+                for cp in out_copies(p - d, jax.lax.rem(p - d, nslots)):
+                    cp.wait()
+
+
+def _cross_span_body_strided(c: int, k: int, log_block: int, base_bit: int,
+                             brows: int, n_planes: int, n_cmp: int,
+                             nslots: int, *refs):
+    """Multi-buffered span body with ONE strided DMA per plane per side.
+
+    The flat body issues 2^c separate sub-block copies per plane per side
+    per step; at 0.5 MB blocks the per-copy issue overhead is comparable to
+    the transfer time and span trips run at ~57% of HBM bandwidth (NOTES r3:
+    grouped span c=5 measures 3.3 units/stage vs the ~1.95 bandwidth floor).
+    Here the caller reshapes each plane to (nhigh, g, nlow, brows, LANES),
+    so one member set is the strided slice [high, :, low] and each side is
+    a single multi-dim DMA descriptor per plane — the DMA engine walks the
+    stride instead of the core issuing g descriptors."""
+    ins = refs[:n_planes]
+    outs = refs[n_planes:2 * n_planes]
+    scratch = refs[2 * n_planes:3 * n_planes]  # (nslots, g, brows, LANES)
+    insem, outsem = refs[3 * n_planes], refs[3 * n_planes + 1]
+    g = 1 << c
+    p = pl.program_id(0)
+    nt = pl.num_programs(0)
+    slot = jax.lax.rem(p, nslots)
+    reclaim = jax.lax.rem(p + 1, nslots)
+    nlow = 1 << base_bit
+
+    def hi_lo(step):
+        if base_bit == 0:
+            return step, 0
+        return jax.lax.div(step, nlow), jax.lax.rem(step, nlow)
+
+    def in_copies(step, slt):
+        h, lo = hi_lo(step)
+        return [pltpu.make_async_copy(
+            ins[q].at[h, :, lo], scratch[q].at[slt], insem.at[slt])
+            for q in range(n_planes)]
+
+    def out_copies(step, slt):
+        h, lo = hi_lo(step)
+        return [pltpu.make_async_copy(
+            scratch[q].at[slt], outs[q].at[h, :, lo], outsem.at[slt])
+            for q in range(n_planes)]
+
+    @pl.when(p == 0)
+    def _():
+        for cp in in_copies(p, slot):
+            cp.start()
+
+    @pl.when(p >= nslots - 1)
+    def _():
+        for cp in out_copies(p - (nslots - 1), reclaim):
             cp.wait()
+
+    @pl.when(p + 1 < nt)
+    def _():
+        for cp in in_copies(p + 1, reclaim):
+            cp.start()
+
+    for cp in in_copies(p, slot):
+        cp.wait()
+
+    sign = jnp.int32(-(1 << 31))
+
+    def member_desc(m):
+        # descending-direction bit of member m's global block index: the
+        # low/high halves of level k alternate every 2^(k-log_block) blocks
+        h, lo = hi_lo(p)
+        gidx = (h << (base_bit + c)) | (m << base_bit) | (
+            lo if base_bit else 0)
+        return ((gidx >> (k - log_block)) & 1) == 1
+
+    for j in range(c - 1, -1, -1):
+        for m in range(g):
+            if m & (1 << j):
+                continue
+            mp = m | (1 << j)
+            a_desc = member_desc(m)
+            planes_a, planes_b = [], []
+            for q in range(n_planes):
+                xa = scratch[q][slot, m]
+                xb = scratch[q][slot, mp]
+                if q < abs(n_cmp):
+                    xa = jax.lax.bitcast_convert_type(xa, jnp.int32) ^ sign
+                    xb = jax.lax.bitcast_convert_type(xb, jnp.int32) ^ sign
+                planes_a.append(xa)
+                planes_b.append(xb)
+            lo_side = _cmpex_planes(planes_a, planes_b, a_desc, n_cmp)
+            hi_side = _cmpex_planes(planes_b, planes_a,
+                                    jnp.logical_not(a_desc), n_cmp)
+            for q in range(n_planes):
+                ya, yb = lo_side[q], hi_side[q]
+                if q < abs(n_cmp):
+                    ya = jax.lax.bitcast_convert_type(ya ^ sign, _U32)
+                    yb = jax.lax.bitcast_convert_type(yb ^ sign, _U32)
+                scratch[q][slot, m] = ya
+                scratch[q][slot, mp] = yb
+
+    for cp in out_copies(p, slot):
+        cp.start()
+
+    @pl.when(p == nt - 1)
+    def _():
+        for d in range(nslots - 1):
+            @pl.when(p >= d)
+            def _(d=d):
+                for cp in out_copies(p - d, jax.lax.rem(p - d, nslots)):
+                    cp.wait()
 
 
 def _cross_span_body_sb(c: int, k: int, log_block: int, base_bit: int,
@@ -664,6 +780,22 @@ def _span_log_block(n_planes: int = 1) -> int:
 
 
 
+def _span_slots(n_planes: int, c: int, brows: int) -> int:
+    """Scratch slots for the multi-buffered span body. 3 slots take the
+    slot-reclaim writeback wait off the critical path ahead of the next
+    prefetch (see _cross_span_body); fall back to 2 when a third slot
+    would push span scratch past 64 MiB (the round-3 budget line — the
+    96 MiB 3-slot 4-plane configuration SIGKILLed the remote compile
+    helper, r5). RS_SPAN_SLOTS overrides for sweeps."""
+    import os
+
+    ov = os.environ.get("RS_SPAN_SLOTS")
+    if ov:
+        return int(ov)
+    slot_bytes = (1 << c) * brows * LANES * 4 * n_planes
+    return 3 if 3 * slot_bytes <= 64 * 1024 * 1024 else 2
+
+
 def _use_xp() -> bool:
     """Transpose-phased stage bodies (roll-only compare-exchanges)."""
     import os
@@ -672,18 +804,19 @@ def _use_xp() -> bool:
 
 
 def _span_c_max(n_planes: int) -> int:
-    """Grouped-span width: 2 slots x 2^c sub-blocks x n_planes of scratch
+    """Grouped-span width: nslots x 2^c sub-blocks x n_planes of scratch
     must fit VMEM alongside the span program. RS_SPAN_CMAX overrides for
-    sweeps. Measured v5e (experiments/sweep_span_geometry, round 3): the
-    multi-plane sweet spot is c=5 with 0.25 MB sub-blocks and
-    double-buffered spans (plateau c=4..6 within 0.3%; 64 MB scratch at 4
-    planes); 1-2 planes keep c=5/c=4 at 0.5 MB blocks."""
+    sweeps. Measured v5e: 1 plane keeps c=5 (round-3 sweep, 0.5 MB blocks;
+    3 slots fit at 48 MB); 2+ planes take c=4 so the 3-slot rotation stays
+    under the 64 MiB scratch line — the round-5 contract sweep measured
+    c=4/3-slot at 1045 ms vs c=5/2-slot at 1057 ms
+    (experiments/sweep_contract_r5.py)."""
     import os
 
     ov = os.environ.get("RS_SPAN_CMAX")
     if ov:
         return int(ov)
-    return 4 if n_planes == 2 else 5
+    return 4 if n_planes >= 2 else 5
 
 
 def _span_budget_log(n_planes: int) -> int:
@@ -771,13 +904,45 @@ def _cross_span_pallas(planes, k: int, log_s_hi: int, log_s_lo: int,
     db_planes = int(os.environ.get("RS_SPAN_DB_PLANES", "4"))
     double_buf = (os.environ.get("RS_SPAN_DB", "1") == "1"
                   and n_planes <= db_planes)
+    strided = double_buf and os.environ.get("RS_SPAN_DMA", "strided") != "flat"
+    nslots = _span_slots(n_planes, c, brows) if double_buf else 1
+    if strided:
+        # one multi-dim DMA per plane per side: view each plane as
+        # (nhigh, g, nlow, brows, LANES) so a member set is a strided slice
+        nlow = 1 << base_bit
+        nhigh = nblocks >> (base_bit + c)
+        body = functools.partial(_cross_span_body_strided, c, k, log_block,
+                                 base_bit, brows, n_planes, n_cmp, nslots)
+        sems = [pltpu.SemaphoreType.DMA((nslots,)),
+                pltpu.SemaphoreType.DMA((nslots,))]
+        shape5 = (nhigh, g, nlow, brows, LANES)
+        out = pl.pallas_call(
+            body,
+            grid=(nblocks // g,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
+            out_shape=[jax.ShapeDtypeStruct(shape5, _U32)] * n_planes,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
+            scratch_shapes=[pltpu.VMEM((nslots, g, brows, LANES), _U32)
+                            for _ in range(n_planes)]
+            + sems,
+            input_output_aliases={i: i for i in range(n_planes)},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
+            interpret=interpret,
+        )(*[p.reshape(shape5) for p in planes])
+        return [p.reshape(nrows, LANES) for p in _as_list(out)]
     body = _cross_span_body if double_buf else _cross_span_body_sb
-    nslots = 2 if double_buf else 1
-    sems = ([pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
-            if double_buf else [pltpu.SemaphoreType.DMA])
+    if double_buf:
+        body = functools.partial(body, c, k, log_block, base_bit,
+                                 brows, n_planes, n_cmp, nslots)
+        sems = [pltpu.SemaphoreType.DMA((nslots,)),
+                pltpu.SemaphoreType.DMA((nslots,))]
+    else:
+        body = functools.partial(body, c, k, log_block, base_bit,
+                                 brows, n_planes, n_cmp)
+        sems = [pltpu.SemaphoreType.DMA]
     out = pl.pallas_call(
-        functools.partial(body, c, k, log_block, base_bit,
-                          brows, n_planes, n_cmp),
+        body,
         grid=(nblocks // g,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
         out_shape=[jax.ShapeDtypeStruct((nrows, LANES), _U32)] * n_planes,

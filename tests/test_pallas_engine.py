@@ -50,3 +50,24 @@ def test_pallas_u64_cross_limb_bits():
     mask = np.uint64(((1 << 36) - 1) & ~((1 << 28) - 1))
     perm = np.argsort(keys & mask, kind="stable")
     np.testing.assert_array_equal(got, keys[perm])
+
+
+def test_pallas_trivial_pass_skip_constant_and_hot_byte():
+    """Trivial-pass short-circuit (VERDICT r4 #4; CUB downsweep
+    :672-741 / dispatch copy shortcut :1064-1077): stages whose global
+    histogram is single-bucket route through the identity branch. Constant
+    keys skip every stage; single-hot-byte keys skip the upper stages.
+    Semantics must be unchanged (stability included)."""
+    rng = np.random.default_rng(3)
+    n = 6_000
+    # constant keys: every stage trivial; payload order must be preserved
+    keys = np.full(n, 0xABCD1234, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    gk, gv = rs.sort_pairs(jnp.asarray(keys), jnp.asarray(vals),
+                           end_bit=16, config=PALLAS)
+    np.testing.assert_array_equal(np.asarray(gk), keys)
+    np.testing.assert_array_equal(np.asarray(gv), vals)
+    # single hot byte: bits [8,16) vary, the rest constant
+    keys = (0x5A000000 | (rng.integers(0, 256, size=n) << 8)).astype(np.uint32)
+    got = np.asarray(rs.sort(jnp.asarray(keys), end_bit=16, config=PALLAS))
+    np.testing.assert_array_equal(got, np.sort(keys))

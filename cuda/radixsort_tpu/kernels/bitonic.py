@@ -1073,9 +1073,10 @@ def sort_bits_bitonic(bits: jnp.ndarray, *, log_tile: int = 16,
 
 @functools.partial(jax.jit,
                    static_argnames=("log_block", "n_cmp", "log_merge",
-                                    "interpret"))
+                                    "compact", "interpret"))
 def merge_sorted_planes_bitonic(planes, *, log_block: int, n_cmp: int = 1,
                                 log_merge: int | None = None,
+                                compact: bool | None = None,
                                 interpret: bool = False):
     """Merge 2^(logn-log_block) pre-sorted blocks into one sorted sequence.
 
@@ -1095,18 +1096,22 @@ def merge_sorted_planes_bitonic(planes, *, log_block: int, n_cmp: int = 1,
         log_merge = resolve_log_merge(logn, len(planes))
     with jax.enable_x64(False):
         return _merge_planes_impl(planes, logn, log_block, n_cmp,
-                                  min(16, log_block), log_merge, interpret)
+                                  min(16, log_block), log_merge, interpret,
+                                  compact=bool(compact))
 
 
 def _merge_planes_impl(planes, logn, log_block, n_cmp, log_tile, log_merge,
-                       interpret):
+                       interpret, compact=False):
     n_planes = len(planes)
     log_merge = max(min(log_merge, logn), log_tile)
     rows_per_block = 1 << (max(log_merge, LOG_LANES) - LOG_LANES)
     nrows = (1 << logn) // LANES
-    merge_body = (_tile_merge_body_xp
-                  if _use_xp() and rows_per_block >= LANES
-                  else _tile_merge_body)
+    if compact:
+        merge_body = _tile_merge_body_compact
+    else:
+        merge_body = (_tile_merge_body_xp
+                      if _use_xp() and rows_per_block >= LANES
+                      else _tile_merge_body)
     xs = [p.reshape(nrows, LANES) for p in planes]
     for k in range(log_block + 1, logn + 1):
         for hi, lo, lb in _plan_spans(k, log_merge, n_planes):

@@ -244,8 +244,17 @@ def _sort_limbs(
         # speedup (measured: 16M+2M-row join 4x slower padded to 2^25).
         # Route to the network only when size x padding still projects a win.
         n_rows = limbs[0].shape[0]
-        npad = 1 << max((n_rows - 1).bit_length(), 10)
+        logn = max((n_rows - 1).bit_length(), 10)
+        npad = 1 << logn
         ratio = npad / n_rows
+        if _split_sort_engages(n_rows, logn):
+            # split-sort-merge engages (_bitonic_planes_split): effective
+            # work = sort(2^(logn-1)) + sort(rest's own power of two) + one
+            # merge level — heavy padding no longer disqualifies the
+            # network (r5: the 151M-row join concat previously fell to
+            # lax.sort on ratio 1.78; with the split it runs 945.8 ->
+            # 471.1 ms = 285 M rows/s, BENCH_SUITE_r05)
+            ratio = _split_work_rows(n_rows, logn) / n_rows
         if n_total <= 3:
             projected_win = npad >= (1 << 23) and ratio < 1.6
         else:
@@ -476,11 +485,21 @@ def sort_pairs(
 def _bitonic_planes(planes, n, n_cmp, cfg):
     """Pad u32 planes to a power of two with max sentinels, run the network,
     trim. Pads are lexicographically >= every real row, so they sort to the
-    global tail."""
+    global tail.
+
+    Heavy padding (>= 25% of the padded size, e.g. a 151M-row join concat
+    padded to 2^28) takes the SPLIT-SORT-MERGE route instead: sort the
+    leading 2^(logn-1) rows ascending, the remainder descending at its own
+    (much smaller) power of two, and finish with the single top bitonic
+    merge level — O(n1 + n2) sort work + one merge pass instead of a full
+    network over the padded size. Measured r5: the 134M x 16M join's
+    concat sort was the 2.3x gap to its power-of-two twin."""
     from cuda.radixsort_tpu.kernels import bitonic as bkern
 
     logn = max((n - 1).bit_length(), 10)
     npad = 1 << logn
+    if n_cmp > 0 and _split_sort_engages(n, logn):
+        return _bitonic_planes_split(planes, n, n_cmp, cfg, logn)
     if npad != n:
         planes = [
             jnp.concatenate([p, jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)])
@@ -503,6 +522,66 @@ def _bitonic_planes(planes, n, n_cmp, cfg):
     if npad != n:
         out = [p[:n] for p in out]
     return out
+
+
+def _split_work_rows(n: int, logn: int) -> float:
+    """Projected row-work of the split-sort-merge route: sort the leading
+    2^(logn-1), sort the remainder at its own power of two, plus ~0.2 of a
+    padded-size pass structure for the top merge level (spans + merge)."""
+    npad = 1 << logn
+    rest = n - (npad >> 1)
+    n2 = 1 << max((rest - 1).bit_length(), 10)
+    return (npad >> 1) + n2 + 0.2 * npad
+
+
+def _split_sort_engages(n: int, logn: int) -> bool:
+    """Split-sort-merge routing: engage when the projected split work beats
+    the direct padded sort by >=10% (a remainder just over a power of two
+    pads to half the array and would LOSE) and the pieces are big enough
+    for the fixed merge overhead (2^19; RS_SPLIT_SORT_MIN_LOGN lowers it
+    for CI). RS_SPLIT_SORT=0 disables."""
+    import os
+
+    npad = 1 << logn
+    if npad == n or os.environ.get("RS_SPLIT_SORT", "1") != "1":
+        return False
+    min_logn = int(os.environ.get("RS_SPLIT_SORT_MIN_LOGN", "19"))
+    return logn >= min_logn and _split_work_rows(n, logn) < 0.9 * npad
+
+
+def _bitonic_planes_split(planes, n, n_cmp, cfg, logn):
+    """Split-sort-merge for heavily padded sorts (see _bitonic_planes).
+
+    Layout: block 0 = leading 2^(logn-1) rows sorted ASCENDING; block 1 =
+    the remainder sorted DESCENDING (via comparand complement — pads
+    complement to the block's FRONT as max sentinels), padded to
+    2^(logn-1); one bitonic merge level (log_block = logn-1) finishes.
+    Comparand planes must form the caller's usual order contract (n_cmp >
+    0 here — the padded-unstable caller already switched to all-compare,
+    and stable callers carry a global index/tag comparand, so ties merge
+    stably)."""
+    from cuda.radixsort_tpu.kernels import bitonic as bkern
+
+    n1 = 1 << (logn - 1)
+    rest = n - n1
+    p1 = _bitonic_planes([p[:n1] for p in planes], n1, n_cmp, cfg)
+    # descending remainder: ascending sort of complemented comparands;
+    # internal 0xFFFFFFFF pads of the recursive call are the complement of
+    # 0 (the minimum) and trim off the tail as usual
+    comp = [~p[n1:] if i < n_cmp else p[n1:]
+            for i, p in enumerate(planes)]
+    p2 = _bitonic_planes(comp, rest, n_cmp, cfg)
+    p2 = [~q if i < n_cmp else q for i, q in enumerate(p2)]
+    # prepend max sentinels: [0xFF... pads, descending real] is a valid
+    # descending block, and the pads exit through the merged tail
+    pad = jnp.full((n1 - rest,), 0xFFFFFFFF, jnp.uint32)
+    merged = bkern.merge_sorted_planes_bitonic(
+        [jnp.concatenate([a, pad, d]) for a, d in zip(p1, p2)],
+        log_block=logn - 1, n_cmp=n_cmp, log_merge=cfg.log_merge,
+        interpret=cfg.interpret,
+        compact=True if (cfg.interpret and len(planes) >= 3) else None,
+    )
+    return [m[:n] for m in merged]
 
 
 def _sort_keys_bitonic(keys, descending: bool, cfg) -> jnp.ndarray:

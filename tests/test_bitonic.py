@@ -303,3 +303,35 @@ def test_sort_struct_unstable_semantics():
     assert (key[:-1] <= key[1:]).all()
     assert np.array_equal(np.sort(ovn), v)
     assert np.array_equal(want[ovn], key)
+
+
+def test_split_sort_merge_heavy_padding(monkeypatch):
+    """r5: heavily padded sorts (pad >= 25% of the padded size) take the
+    split-sort-merge route — sort the leading power of two ascending, the
+    remainder descending (comparand complement), one merge level. Engaged
+    here at small n via RS_SPLIT_SORT_MIN_LOGN; production threshold is
+    2^19 (the 151M join concat case)."""
+    import jax
+
+    monkeypatch.setenv("RS_SPLIT_SORT_MIN_LOGN", "12")
+    jax.clear_caches()
+    B = rs.SortConfig(engine="bitonic", interpret=True)
+    rng = np.random.default_rng(9)
+    try:
+        for n in (2300, 3000):
+            k = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(
+                np.uint32)
+            np.testing.assert_array_equal(
+                np.asarray(rs.sort(jnp.asarray(k), config=B)), np.sort(k))
+            kd = rng.integers(0, 40, size=n).astype(np.uint32)
+            v = np.arange(n, dtype=np.int32)
+            ok, ov = rs.sort_pairs(jnp.asarray(kd), jnp.asarray(v), config=B)
+            o = np.argsort(kd, kind="stable")
+            np.testing.assert_array_equal(np.asarray(ok), kd[o])
+            np.testing.assert_array_equal(np.asarray(ov), v[o])  # stable
+            ok2, ov2 = rs.sort_pairs(jnp.asarray(kd), jnp.asarray(v),
+                                     config=B, stable=False)
+            np.testing.assert_array_equal(np.asarray(ok2), kd[o])
+            np.testing.assert_array_equal(np.sort(np.asarray(ov2)), v)
+    finally:
+        jax.clear_caches()

@@ -9,7 +9,7 @@ code values, so claim-drift fails CI instead of surviving to the judge.
 Claims covered (NOTES r3 "Span-geometry sweep" + bitonic.py docstrings):
   * merge-block table: 1-plane logn>=28 -> lm=22; logn 26..27 -> 21;
     below -> 20; 2-3 planes -> 20; 4+ planes -> 19
-  * span width: c=5 default, c=4 at 2 planes
+  * span width: c=5 at 1 plane, c=4 at 2+ planes (r5 contract sweep)
   * span sub-block: 0.5 MB (2^17) for 1-2 planes, 0.25 MB (2^16) for 3+
   * double-buffered spans on at every plane count up to db_planes=4
   * bench.py's pass accounting derives from the SAME resolver (no parallel
@@ -135,3 +135,61 @@ def test_exchange_rounds_default_routing():
     from cuda.radixsort_tpu.parallel import dsort
     assert dsort.resolve_rounds((4 * 1024 * 1024) // 4 + 1) == 2
     assert dsort.resolve_rounds((4 * 1024 * 1024) // 4) == 1
+
+
+def test_unmeasured_preset_provenance_markers():
+    """VERDICT r4 weak #7: v5p/v6e preset rows are v5e copies declared
+    UNMEASURED — the provenance markers are load-bearing (a different TPU
+    generation silently inherits v5e geometry); keep them pinned so the
+    declaration can't drift off the table."""
+    import inspect
+    from cuda.radixsort_tpu import config as config_lib
+    src = inspect.getsource(config_lib)
+    table_doc = src[src.index("Per-generation policy table"):
+                    src.index("_GEN_PRESETS")]
+    for gen in ("v5p", "v6e"):
+        assert gen in config_lib._GEN_PRESETS
+        assert f"{gen}: UNMEASURED" in table_doc, (
+            f"{gen} preset lost its UNMEASURED provenance marker")
+    assert "v5e: every knob swept" in table_doc
+
+
+def test_readme_table_matches_bench_artifact():
+    """VERDICT r4 #10: README's measured rows must match the committed
+    BENCH_SUITE_r05.json artifact (<=10% slack for rounding) — published
+    numbers can't drift from recorded ones."""
+    import json
+    import re
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    art = {r["config"]: r for r in json.load(
+        open(os.path.join(root, "BENCH_SUITE_r05.json")))["records"]}
+    readme = open(os.path.join(root, "README.md")).read().splitlines()
+
+    row_to_config = {
+        "**stable u32 pairs @2^27": "sort_pairs_u32_134M",
+        "| unstable u32 pairs @2^27": "sort_pairs_u32_unstable_134M",
+        "u64 + payload pairs (4-plane) @2^25": "sort_pairs_u64",
+        "256M u64+payload pairs": "sort_pairs_u64_256M_contract",
+        "FK join, 16M probe": "hash_join_fk",
+        "FK join, 134M probe": "hash_join_big_134Mx16M",
+        "FK join, 118M probe": "hash_join_pow2_118Mx16M",
+        "1B probe x 100M build contract shape": "join_1b_device_1Bx100M",
+        "group-by sum, Zipf": "groupby_zipf",
+        "group-by sum @16M pow2": "groupby_pow2_16M",
+        "filter->join pipelined query": "pipelined_query",
+        "low-entropy (8-bit) keys @16M": "sort_low_entropy_8bit_radix",
+    }
+    checked = 0
+    for line in readme:
+        for frag, config in row_to_config.items():
+            if frag in line and line.strip().startswith("|"):
+                m = re.search(r"\|\s*([\d.]+)\s*(ms|s)\s*\|", line)
+                assert m, f"no time cell in README row: {line}"
+                claimed_ms = float(m.group(1)) * (1e3 if m.group(2) == "s"
+                                                  else 1)
+                actual = art[config]["ms"]
+                assert abs(claimed_ms - actual) <= 0.10 * actual, (
+                    f"README row '{frag}' claims {claimed_ms} ms but "
+                    f"BENCH_SUITE_r05.json records {actual} ms")
+                checked += 1
+    assert checked >= 11, f"only {checked} README rows matched the mapping"

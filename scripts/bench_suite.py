@@ -487,7 +487,11 @@ def main():
         out, counts, st = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
         jax.block_until_ready(out)
         report("dist_sort_skewed", n, time.time() - t0,
-               {"ndev": ndev, "stats": describe(st)})
+               {"ndev": ndev, "stats": describe(st),
+                "method_note": "observability demo on a mesh of ndev — the "
+                               "wall time INCLUDES the cold remote compile "
+                               "(not a throughput row; scaling numbers live "
+                               "in the CPU-8 harness / --scaling)"})
 
         gk_, gv_, cnt_, cap_, gst = shuffle.groupby_distributed_sized(
             jnp.asarray(keys),

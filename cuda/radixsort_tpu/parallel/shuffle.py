@@ -49,10 +49,12 @@ def exchange_rows(columns, dest, ndev: int, axis_name: str, cap: int):
 
     cap must cover every send lane (the sized protocols measure it
     exactly). If any source's per-destination count exceeds cap, the
-    overflow is LOUD, not a silent row drop (the r2 weakness): a
-    debug-print names the offending max count, and the received validity
-    is poisoned to all-False mesh-wide (one scalar psum) so downstream
-    results are obviously empty rather than subtly short.
+    overflow is LOUD, not a silent row drop (the r2 weakness): the
+    received validity is poisoned to all-False mesh-wide (one scalar psum)
+    so downstream results are obviously empty rather than subtly short,
+    and ExchangeStats reports util > 1.0 (describe() prints OVERFLOW).
+    RS_EXCHANGE_DEBUG_PRINT=1 adds a debug-print naming the offending max
+    count (host-callback based — unsupported on the axon tunnel).
     """
     s = dest.shape[0]
     pos = jnp.arange(s, dtype=jnp.uint32)
@@ -72,13 +74,21 @@ def exchange_rows(columns, dest, ndev: int, axis_name: str, cap: int):
     gidx = jnp.where(valid, jnp.clip(idx, 0, s - 1), 0).reshape(-1)
 
     maxc = jnp.max(counts)
-    jax.lax.cond(
-        maxc > cap,
-        lambda m: jax.debug.print(
-            "exchange_rows OVERFLOW: max send count {m} > cap "
-            + str(cap) + " — results poisoned to empty", m=m),
-        lambda m: None,
-        maxc)
+    # Loudness without host callbacks: the poisoned all-False validity below
+    # plus util > 1.0 in ExchangeStats are the overflow alarms. The
+    # debug.print variant is opt-in (RS_EXCHANGE_DEBUG_PRINT=1) because
+    # jax.debug.print lowers to a host callback, which the axon TPU tunnel
+    # rejects at RUN time (UNIMPLEMENTED: no host send/recv callbacks) —
+    # it silently made every exchange_rows graph unrunnable on-chip (r5).
+    import os
+    if os.environ.get("RS_EXCHANGE_DEBUG_PRINT", "0") == "1":
+        jax.lax.cond(
+            maxc > cap,
+            lambda m: jax.debug.print(
+                "exchange_rows OVERFLOW: max send count {m} > cap "
+                + str(cap) + " — results poisoned to empty", m=m),
+            lambda m: None,
+            maxc)
     over_any = jax.lax.psum((maxc > cap).astype(jnp.int32), axis_name) > 0
 
     recv_valid = jax.lax.all_to_all(

@@ -101,7 +101,7 @@ def main():
     # 1b. trivial-pass skip on the radix engine (VERDICT r4 #4): 8-bit-
     #     entropy keys leave 6 of 8 stage histograms single-bucket; the
     #     lax.cond short-circuit takes the identity branch (CUB downsweep
-    #     :672-741 parity). Measured r5: 106.1 -> 36.3 ms @2^24 (2.9x).
+    #     :672-741 parity). Measured r5: 106.2 -> 26.9 ms @2^24 (4.0x, entropy-preserving chain).
     if wanted("sort_low_entropy"):
         n = 1 << (20 if SMALL else 24)
         pal = rs.SortConfig(engine="pallas")
@@ -338,16 +338,21 @@ def main():
                         ^ jnp.sum(jnp.where(live, ov, 0),
                                   dtype=jnp.int32).astype(jnp.uint32))
                 return cnt, fold
-            jax.block_until_ready(join_chunk(bk1, bv1, jnp.uint32(99)))
+            w0, w1 = join_chunk(bk1, bv1, jnp.uint32(99))
+            int(w0), int(w1)  # warm via scalar fetch — NOT
+            # jax.block_until_ready: through the axon tunnel that call
+            # costs ~8.5 s of pure sync overhead per invocation (measured
+            # r5: 9.58 s/chunk with it, 1.08 s without; NOTES), and it
+            # does not even guarantee completion — device_get of the
+            # values does.
             nchunks = np1 // chunk1
             total = 0
             chk = np.uint32(0)
             t0 = time.perf_counter()
             for s in range(nchunks):
-                cnt, fold = jax.block_until_ready(
-                    join_chunk(bk1, bv1, jnp.uint32(s)))
+                cnt, fold = join_chunk(bk1, bv1, jnp.uint32(s))
                 total += int(cnt)
-                chk ^= np.uint32(fold)
+                chk ^= np.uint32(int(fold))
             dt = time.perf_counter() - t0
             ideal = 8 * (nb1 + np1)
             actual = nchunks * (bitonic_sort_bytes(1 << 28, 3)
@@ -485,7 +490,7 @@ def main():
         keys[: n // 3] = 0xABCD1234  # skewed
         t0 = time.time()
         out, counts, st = dsort.sort_distributed(jnp.asarray(keys), mesh=mesh)
-        jax.block_until_ready(out)
+        int(jnp.sum(counts))  # force (block_until_ready: ~8.5 s tunnel tax)
         report("dist_sort_skewed", n, time.time() - t0,
                {"ndev": ndev, "stats": describe(st),
                 "method_note": "observability demo on a mesh of ndev — the "
@@ -497,7 +502,7 @@ def main():
             jnp.asarray(keys),
             jnp.asarray(rng.integers(-99, 99, size=n).astype(np.int32)),
             mesh=mesh, agg="sum")
-        jax.block_until_ready(gv_)
+        int(jnp.sum(cnt_))  # force
         report("dist_groupby_sized", n, 1e-9,
                {"ndev": ndev, "stats": describe(gst)})
 
@@ -509,7 +514,7 @@ def main():
             jnp.asarray(rng.choice(np.arange(2 * nb_, dtype=np.uint32),
                                    size=npr_)),
             mesh=mesh)
-        jax.block_until_ready(ok)
+        int(jnp.sum(jcnt))  # force
         report("dist_join_hash_sized", npr_, 1e-9,
                {"ndev": ndev, "caps": list(caps), "stats": describe(jst)})
 

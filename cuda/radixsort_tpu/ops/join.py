@@ -194,14 +194,15 @@ def join(
     # composite-op compaction: the XLA path fuses with the surrounding
     # scans/gathers, which beats the (standalone-faster) Pallas filter at
     # moderate sizes — measured: join @4M with pallas filters 74.8 ms vs
-    # 33.7 ms xla (r2). At 2^26+ rows the relationship INVERTS hard: XLA's
-    # gather-based compaction runs at the TPU gather floor (~0.07 G
-    # rows/s) and a 234M-row join chunk spent ~12 s of its 12.9 s there
-    # (r5 join_1b probe); the Pallas 1-bit stage partitions the same
-    # columns at ~2 G rows/s. Route by size.
+    # 33.7 ms xla (r2). Above ~2^24 rows the relationship INVERTS hard:
+    # XLA's gather-based compaction runs at the TPU gather floor (~0.07 G
+    # rows/s) — a 234M-row join chunk spent ~12 s of its 12.9 s there and
+    # the 16M fk join 83 of its 145 ms (r5 probes); the Pallas 1-bit
+    # stage partitions the same columns at ~2 G rows/s (16M fk join
+    # 61.8 ms with outputs materialized). Route by size.
     if cfg.engine == "reference":
         fcfg = cfg
-    elif (ntot >= (1 << 26)
+    elif (ntot >= (1 << 24)
           and config_lib.default_backend() == "tpu" and not cfg.interpret):
         fcfg = cfg.replace(engine="pallas")
     else:

@@ -54,11 +54,17 @@ def filter_sort_join(
     """
     n = probe_keys.shape[0]
     mask = probe_vals > threshold
-    # composite-pipeline compactions fuse best on the XLA path (see
-    # ops/join.py note); standalone filter_columns keeps the Pallas stage
+    # composite-pipeline compactions fuse best on the XLA path at moderate
+    # sizes (see ops/join.py note) — but above ~2^26 rows the XLA gather
+    # path hits the TPU gather floor (~12 s at 2^28, r5 join_1b probe);
+    # route big pipelines through the Pallas stage like ops/join.py does
     fcfg = config_lib.resolve(config)
     if fcfg.engine != "reference":
-        fcfg = fcfg.replace(engine="xla")
+        if (n >= (1 << 24) and config_lib.default_backend() == "tpu"
+                and not fcfg.interpret):
+            fcfg = fcfg.replace(engine="pallas")
+        else:
+            fcfg = fcfg.replace(engine="xla")
     (fk, fv), nf = filter_columns(mask, (probe_keys, probe_vals), config=fcfg)
 
     # join ignores the invalid tail by keying it with a reserved sentinel

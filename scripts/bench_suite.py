@@ -235,8 +235,12 @@ def main():
         try:
             def join_fn(p):
                 b = jnp.arange(nb, dtype=jnp.uint32)
-                return rs_join(b, b.astype(jnp.int32), p % jnp.uint32(nb),
-                               how="inner")[3]
+                ok, ov, oi, cnt = rs_join(b, b.astype(jnp.int32),
+                                          p % jnp.uint32(nb), how="inner")
+                # fold over the outputs so the compaction MATERIALIZES —
+                # returning cnt alone lets XLA elide it (r5 join_1b lesson)
+                return (cnt.astype(jnp.uint32)
+                        ^ jnp.sum(ok) ^ jnp.sum(ov.astype(jnp.uint32)))
             r = timed_calls(join_fn, (pk0,), m=4)
             ideal, actual = join_bytes(nb, npr)
             report("hash_join_fk", npr, r["seconds"],
@@ -256,8 +260,11 @@ def main():
 
             def join_big_fn(p):
                 b = jnp.arange(nbig_b, dtype=jnp.uint32)
-                return rs_join(b, b.astype(jnp.int32),
-                               p % jnp.uint32(nbig_b), how="inner")[3]
+                ok, ov, oi, cnt = rs_join(b, b.astype(jnp.int32),
+                                          p % jnp.uint32(nbig_b),
+                                          how="inner")
+                return (cnt.astype(jnp.uint32)
+                        ^ jnp.sum(ok) ^ jnp.sum(ov.astype(jnp.uint32)))
             r = timed_calls(join_big_fn, (pbig,), m=2)
             ideal, actual = join_bytes(nbig_b, nbig_p)
             report("hash_join_big_134Mx16M", nbig_p, r["seconds"],
@@ -387,8 +394,10 @@ def main():
 
             def join_pow2_fn(p):
                 b = jnp.arange(nb2, dtype=jnp.uint32)
-                return rs_join(b, b.astype(jnp.int32),
-                               p % jnp.uint32(nb2), how="inner")[3]
+                ok, ov, oi, cnt = rs_join(b, b.astype(jnp.int32),
+                                          p % jnp.uint32(nb2), how="inner")
+                return (cnt.astype(jnp.uint32)
+                        ^ jnp.sum(ok) ^ jnp.sum(ov.astype(jnp.uint32)))
             r = timed_calls(join_pow2_fn, (pb2,), m=2)
             ideal, actual = join_bytes(nb2, np2)
             report("hash_join_pow2_118Mx16M", np2, r["seconds"],

@@ -191,18 +191,17 @@ def join(
     cv = _fill_value_from_marks(is_build, svals)
     is_probe = sside == 1
 
-    # composite-op compaction: the XLA path fuses with the surrounding
-    # scans/gathers, which beats the (standalone-faster) Pallas filter at
-    # moderate sizes — measured: join @4M with pallas filters 74.8 ms vs
-    # 33.7 ms xla (r2). Above ~2^24 rows the relationship INVERTS hard:
-    # XLA's gather-based compaction runs at the TPU gather floor (~0.07 G
-    # rows/s) — a 234M-row join chunk spent ~12 s of its 12.9 s there and
-    # the 16M fk join 83 of its 145 ms (r5 probes); the Pallas 1-bit
-    # stage partitions the same columns at ~2 G rows/s (16M fk join
-    # 61.8 ms with outputs materialized). Route by size.
+    # composite-op compaction: Pallas 1-bit stage from 2^20 rows up. The
+    # r2 measurement that XLA fusion beats the Pallas filter at 4M
+    # (33.7 vs 74.8 ms) returned count-only and let XLA ELIDE the
+    # compaction it was supposed to time; with outputs materialized the
+    # Pallas route wins at every probed size (4M query 75.9 vs 122.9 ms;
+    # 16M fk join 61.8 vs 144.9; 234M chunk 1.08 s vs 12.9 s — the XLA
+    # gather path runs at the ~0.07 G rows/s TPU gather floor). Tiny
+    # joins keep the fused XLA path.
     if cfg.engine == "reference":
         fcfg = cfg
-    elif (ntot >= (1 << 24)
+    elif (ntot >= (1 << 20)
           and config_lib.default_backend() == "tpu" and not cfg.interpret):
         fcfg = cfg.replace(engine="pallas")
     else:

@@ -54,13 +54,12 @@ def filter_sort_join(
     """
     n = probe_keys.shape[0]
     mask = probe_vals > threshold
-    # composite-pipeline compactions fuse best on the XLA path at moderate
-    # sizes (see ops/join.py note) — but above ~2^26 rows the XLA gather
-    # path hits the TPU gather floor (~12 s at 2^28, r5 join_1b probe);
-    # route big pipelines through the Pallas stage like ops/join.py does
+    # compaction routing mirrors ops/join.py: Pallas 1-bit stage from
+    # 2^20 rows (the old xla-wins-at-4M result was an elision artifact —
+    # materialized, pallas 75.9 vs xla 122.9 ms at 4M, r5)
     fcfg = config_lib.resolve(config)
     if fcfg.engine != "reference":
-        if (n >= (1 << 24) and config_lib.default_backend() == "tpu"
+        if (n >= (1 << 20) and config_lib.default_backend() == "tpu"
                 and not fcfg.interpret):
             fcfg = fcfg.replace(engine="pallas")
         else:

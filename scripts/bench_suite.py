@@ -472,9 +472,14 @@ def main():
             def q_fn(p):
                 b = jnp.arange(nb, dtype=jnp.uint32)
                 pvals = (p % jnp.uint32(1 << 20)).astype(jnp.int32)
-                return filter_sort_join(p % jnp.uint32(nb), pvals, b,
-                                        b.astype(jnp.int32),
-                                        jnp.int32(1 << 19))[3]
+                k2, pv2, bv2, cnt2, _st = filter_sort_join(
+                    p % jnp.uint32(nb), pvals, b, b.astype(jnp.int32),
+                    jnp.int32(1 << 19))
+                # fold so the result columns MATERIALIZE (count-only
+                # returns let XLA elide the final compaction)
+                return (cnt2.astype(jnp.uint32) ^ jnp.sum(k2)
+                        ^ jnp.sum(pv2.astype(jnp.uint32))
+                        ^ jnp.sum(bv2.astype(jnp.uint32)))
             r = timed_calls(q_fn, (probe,), m=4)
             ideal, actual = join_bytes(nb, n)
             report("pipelined_query", n, r["seconds"], CALLS,

@@ -65,8 +65,10 @@ def _segment_end_pos(is_start):
     n = is_start.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
-    filled_rev = jax.lax.cummax(
-        jnp.where(is_end[::-1], pos, -1))  # pos is the REVERSED index
+    from cuda.radixsort_tpu.ops.scan import plain_scan
+
+    filled_rev = plain_scan(
+        jnp.where(is_end[::-1], pos, -1), "max")  # pos is the REVERSED index
     return (n - 1) - filled_rev[::-1]
 
 
@@ -303,7 +305,9 @@ def _groupby_quantile(
         valid_sorted = sorted_cols[0] == 0
     is_start = _group_starts(skeys, valid_sorted)
     pos = jnp.arange(n, dtype=jnp.int32)
-    start = jax.lax.cummax(jnp.where(is_start, pos, -1))
+    from cuda.radixsort_tpu.ops.scan import plain_scan
+
+    start = plain_scan(jnp.where(is_start, pos, -1), "max")
     # gather-free selection (r3): rank-in-segment and segment size are
     # pure position arithmetic, valid at EVERY row; the quantile's floor/
     # ceil-rank rows are marked in place and their values transported back

@@ -45,11 +45,22 @@ from cuda.radixsort_tpu.ops.sort import sort_pairs as _sort_pairs
 # counts are).
 
 
+
+
+def _scan1(x, op):
+    """Plain inclusive scan — see ops/scan.py::plain_scan (Pallas kernel
+    at >=2^22 rows on TPU; XLA reduce-window scans cost far more than one
+    pass there)."""
+    from cuda.radixsort_tpu.ops.scan import plain_scan
+
+    return plain_scan(x, op)
+
+
 def _fill_from_marks(marked, x, fill=-1):
     """Forward-fill x's value at marked rows to all following rows.
     Requires x non-decreasing at marked rows. Rows before the first mark get
     `fill`."""
-    return jax.lax.cummax(jnp.where(marked, x, fill))
+    return _scan1(jnp.where(marked, x, fill), "max")
 
 
 def _fill_value_from_marks(marked, values):
@@ -73,7 +84,7 @@ def _monotone_at_group_end(is_end, x, big):
     """x's value at the LAST row of each group, broadcast over the group.
     Requires x NON-DECREASING (prefix counts) — backward-fill from end
     marks is then one reversed cummin; no gather."""
-    filled_r = jax.lax.cummin(jnp.where(is_end[::-1], x[::-1], big))
+    filled_r = _scan1(jnp.where(is_end[::-1], x[::-1], big), "min")
     return filled_r[::-1]
 
 
@@ -182,7 +193,7 @@ def join(
         cbits = twiddle.twiddle_in(col)
         is_start = is_start | jnp.concatenate(
             [jnp.zeros((1,), bool), cbits[1:] != cbits[:-1]])
-    cb_incl = jnp.cumsum(is_build.astype(jnp.int32))
+    cb_incl = _scan1(is_build.astype(jnp.int32), "sum")
     cb_excl = cb_incl - is_build.astype(jnp.int32)
     cb_at_start = _fill_from_marks(is_start, cb_excl)
     matched = (cb_incl - cb_at_start) > 0
@@ -226,7 +237,7 @@ def join(
         # monotone, so the end fill is one reversed cummin (the former
         # jnp.take at next_start-1 paid the ~0.11 G rows/s TPU gather).
         is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
-        cp_incl = jnp.cumsum(is_probe.astype(jnp.int32))
+        cp_incl = _scan1(is_probe.astype(jnp.int32), "sum")
         cp_excl = cp_incl - is_probe.astype(jnp.int32)
         cp_at_start = _fill_from_marks(is_start, cp_excl)
         cp_at_end = _monotone_at_group_end(is_end, cp_incl,
@@ -288,7 +299,7 @@ def _sorted_merge_state(build_keys, build_vals, probe_keys, cfg):
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sbits[1:] != sbits[:-1]]
     )
-    cb_incl = jnp.cumsum(is_build.astype(jnp.int32))
+    cb_incl = _scan1(is_build.astype(jnp.int32), "sum")
     cb_excl = cb_incl - is_build.astype(jnp.int32)
     # forward-fill (group start position, build-count before group) from each
     # group's first row to every row of the group — position 0 is always a
@@ -351,7 +362,7 @@ def join_expand(
     else:
         lens = jnp.where(is_probe, jnp.maximum(n_build, 1), 0)
     total = jnp.sum(lens)
-    starts = jnp.cumsum(lens) - lens  # exclusive; nondecreasing over rows
+    starts = _scan1(lens, "sum") - lens  # exclusive; nondecreasing over rows
 
     # Scatter each emitting probe row's sorted position into its first
     # output slot, cummax-forward-fill (positions are increasing with
@@ -359,9 +370,9 @@ def join_expand(
     c = capacity
     slot = jnp.where(lens > 0, starts, c)  # len==0 rows dropped (mode=drop)
     rowpos = jnp.arange(n, dtype=jnp.int32)
-    f_pos = jax.lax.cummax(
-        jnp.full((c,), -1, jnp.int32).at[slot].set(rowpos, mode="drop")
-    )
+    f_pos = _scan1(
+        jnp.full((c,), -1, jnp.int32).at[slot].set(rowpos, mode="drop"),
+        "max")
     safe = jnp.clip(f_pos, 0, n - 1)
     f_start = jnp.take(starts, safe, axis=0)
     f_grp = jnp.take(grp_start, safe, axis=0)

@@ -26,7 +26,9 @@ def _segment_ids(offsets: jnp.ndarray, n: int) -> jnp.ndarray:
     ind = jnp.zeros((n + 1,), jnp.uint32).at[offsets[1:-1]].add(
         1, mode="drop"
     )[:n]
-    return jnp.cumsum(ind).astype(jnp.uint32)
+    from cuda.radixsort_tpu.ops.scan import plain_scan
+
+    return plain_scan(ind.astype(jnp.int32), "sum").astype(jnp.uint32)
 
 
 @functools.partial(

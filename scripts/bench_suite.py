@@ -598,7 +598,10 @@ def main():
                 ok_, ov_, oi_, cnt_, om_ = rs_join(
                     b, b.astype(jnp.int32), p % jnp.uint32(2 * nb2),
                     how="full")
-                return rot32(p ^ cnt_.astype(jnp.uint32))
+                fold = (cnt_.astype(jnp.uint32) ^ jnp.sum(ok_)
+                        ^ jnp.sum(ov_.astype(jnp.uint32))
+                        ^ jnp.sum(om_.astype(jnp.uint32)))
+                return rot32(p ^ fold)
             t = timed_chain(oj_step, pk2, k=4)
             ideal, actual = join_bytes(nb2, n)
             report("full_outer_join_4Mx1M", n, t, CHAIN,
@@ -616,7 +619,10 @@ def main():
             def quant_step(k_):
                 v = (k_ * jnp.uint32(2654435761)).astype(jnp.int32)
                 gk_, qs_, cnt_ = groupby_quantile(k_, v, (0.25, 0.5, 0.9))
-                return rot32(k_ ^ cnt_.astype(jnp.uint32))
+                fold = cnt_.astype(jnp.uint32) ^ jnp.sum(gk_)
+                for q_ in jax.tree_util.tree_leaves(qs_):
+                    fold = fold ^ jnp.sum(q_.astype(jnp.uint32))
+                return rot32(k_ ^ fold)
             t = timed_chain(quant_step, qk2, k=4)
             # histogram-refinement path: ~5 passes over (key, val)
             report("groupby_quantile_4M", n, t, CHAIN,

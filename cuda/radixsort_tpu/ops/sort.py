@@ -189,6 +189,26 @@ def apply_permutation(dest: jnp.ndarray, arrays: Sequence[jnp.ndarray]):
 # ---------------------------------------------------------------------------
 
 
+def _widen_u32(p: jnp.ndarray) -> jnp.ndarray:
+    """Bit-preserving widen of a sub-4-byte payload column to uint32.
+    Integers/bool widen by value (round-trips exactly through the modular
+    narrow); small floats (f16/bf16) bitcast to the same-width uint first
+    so no value rounding occurs."""
+    if jnp.issubdtype(p.dtype, jnp.floating):
+        bits = jax.lax.bitcast_convert_type(
+            p, jnp.dtype(f"uint{8 * jnp.dtype(p.dtype).itemsize}"))
+        return bits.astype(jnp.uint32)
+    return p.astype(jnp.uint32)
+
+
+def _narrow_u32(o: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of _widen_u32."""
+    if jnp.issubdtype(dtype, jnp.floating):
+        bits = o.astype(jnp.dtype(f"uint{8 * jnp.dtype(dtype).itemsize}"))
+        return jax.lax.bitcast_convert_type(bits, dtype)
+    return o.astype(dtype)
+
+
 def _sort_limbs(
     limbs: list[jnp.ndarray],
     limb_bits: list[tuple[int, int]],
@@ -228,7 +248,9 @@ def _sort_limbs(
         # 3. Round-3 per-plane accounting (NOTES: +27.9 ms idx compare plane
         # @2^25) projects ~930 M pairs/s for the 2-plane layout.
         full = all(b == 0 and e == 32 for (b, e) in limb_bits)
-        four_byte = all(jnp.dtype(p.dtype).itemsize == 4 for p in payloads)
+        # sub-4-byte payloads widen to u32 planes (bit-preserving — see
+        # _widen_u32); only >4-byte payloads disqualify the network
+        four_byte = all(jnp.dtype(p.dtype).itemsize <= 4 for p in payloads)
         tag = (unique_leading_payload and bool(payloads)
                and payloads[0].dtype == jnp.uint32)
         n_total = (len(limbs) + (1 if stable and not tag else 0)
@@ -262,8 +284,13 @@ def _sort_limbs(
         if (full and four_byte and payloads and n_total <= 4 and runnable
                 and (projected_win or cfg.interpret)):
             n = limbs[0].shape[0]
-            pay_u32 = [p if p.dtype == jnp.uint32 else p.view(jnp.uint32)
-                       for p in payloads]
+            pay_u32 = [
+                p if p.dtype == jnp.uint32
+                else (p.view(jnp.uint32)
+                      if jnp.dtype(p.dtype).itemsize == 4
+                      else _widen_u32(p))
+                for p in payloads
+            ]
             if stable and tag:
                 # the caller's unique u32 tag is the tie-break comparand:
                 # no internal index plane (pads stay strictly greatest —
@@ -288,7 +315,10 @@ def _sort_limbs(
             out_limbs = out[: len(limbs)]
             skip = len(limbs) + (1 if stable and not tag else 0)
             out_pays = [
-                o if p.dtype == jnp.uint32 else o.view(p.dtype)
+                o if p.dtype == jnp.uint32
+                else (o.view(p.dtype)
+                      if jnp.dtype(p.dtype).itemsize == 4
+                      else _narrow_u32(o, p.dtype))
                 for o, p in zip(out[skip:], payloads)
             ]
             return out_limbs, out_pays
@@ -329,15 +359,35 @@ def _sort_limbs(
     payloads = [_pad_zeros(p, pad) for p in payloads]
 
     if cfg.engine == "pallas":
-        four_byte = all(jnp.dtype(p.dtype).itemsize == 4 for p in payloads)
-        if four_byte:
-            limbs, payloads = kpipe.sort_limbs_pallas(
-                limbs, limb_bits, payloads, cfg
+        # sub-4-byte payloads (bool masks, i8/i16) WIDEN to u32 planes and
+        # narrow back after — one cheap elementwise pass each way. Only
+        # >4-byte payloads take the index-truck + gather route: the TPU
+        # gather runs at ~0.11 G rows/s, and a single bool column used to
+        # drag EVERY payload column through it (~37 ms each @4M, r5 — it
+        # was most of the outer join's filter cost).
+        widened, orig_dtypes = [], []
+        gatherable = True
+        for p in payloads:
+            isz = jnp.dtype(p.dtype).itemsize
+            if isz == 4:
+                widened.append(p)
+                orig_dtypes.append(None)
+            elif isz < 4:
+                widened.append(_widen_u32(p))
+                orig_dtypes.append(p.dtype)
+            else:
+                gatherable = False
+                break
+        if gatherable:
+            limbs, outp = kpipe.sort_limbs_pallas(
+                limbs, limb_bits, widened, cfg
             )
+            payloads = [o if d is None else _narrow_u32(o, d)
+                        for o, d in zip(outp, orig_dtypes)]
         else:
-            # non-4-byte payloads can't ride the u32 planes: truck an index
-            # through the kernel permutation, then gather (values-follow-keys,
-            # CUB GatherScatterValues analogue).
+            # 8-byte payloads: truck an index through the kernel
+            # permutation, then gather (values-follow-keys, CUB
+            # GatherScatterValues analogue).
             idx = jnp.arange(limbs[0].shape[0], dtype=jnp.int32)
             limbs, (perm,) = kpipe.sort_limbs_pallas(
                 limbs, limb_bits, [idx], cfg

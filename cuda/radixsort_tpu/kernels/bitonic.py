@@ -970,7 +970,9 @@ def resolve_log_merge(logn: int, n_planes: int) -> int:
     block's VMEM footprint scales with plane count: 1-plane takes 2^22 at
     logn>=28 (the r3 sweep's 937 ms @1B, +6% over lm=21) and 2^21 at 26-27;
     2 planes cap at 2^20; 4+ planes at 2^19 (lm=20 x 3 planes OOMs scoped
-    VMEM at k>=22 — measured r2).
+    VMEM at k>=22 — measured r2; r5 re-checks: lm=21 x 3 planes and
+    lm=20 x 4 planes both still fail the remote compile — 140 MB scoped
+    VMEM vs the 128 MB chip).
 
     This is the single source of truth: sort_planes_bitonic, the merge entry,
     and bench.py's pass accounting all derive from it (VERDICT r3 #1/#5 —

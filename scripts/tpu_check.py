@@ -360,6 +360,71 @@ def pallas_segmented_scan_kernel():
     return ok
 
 
+@check
+def split_sort_merge_on_chip():
+    """r5: heavily padded sorts take the split-sort-merge route (sort
+    2^(logn-1) + remainder + one merge level). Keys and stable pairs at a
+    size where the route engages (2^25 + 2^22)."""
+    from cuda.radixsort_tpu.ops.sort import _split_sort_engages
+
+    n = (1 << 25) + (1 << 22)
+    assert _split_sort_engages(n, (n - 1).bit_length())
+    k = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    ok = np.array_equal(np.asarray(rs.sort(jnp.asarray(k))), np.sort(k))
+    kd = rng.integers(0, 1000, size=n).astype(np.uint32)
+    v = np.arange(n, dtype=np.int32)
+    sk, sv = rs.sort_pairs(jnp.asarray(kd), jnp.asarray(v))
+    o = np.argsort(kd, kind="stable")
+    ok &= np.array_equal(np.asarray(sk), kd[o])
+    ok &= np.array_equal(np.asarray(sv), v[o])
+    return bool(ok)
+
+
+@check
+def bool_payload_widen_filter():
+    """r5: sub-4-byte payloads widen to u32 planes — a bool column must
+    ride the Pallas filter instead of dragging everything to the gather
+    route, bit-exactly."""
+    from cuda.radixsort_tpu.ops.filter import filter_columns
+    from cuda.radixsort_tpu import config as config_lib
+
+    n = 1 << 21
+    p = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64)
+                    .astype(np.uint32))
+    mask = p > jnp.uint32(1 << 30)
+    pcfg = config_lib.resolve(None).replace(engine="pallas")
+    (a, b), cnt = filter_columns(
+        mask, (p, (p & 1).astype(jnp.bool_)), config=pcfg)
+    mh, ph, c = np.asarray(mask), np.asarray(p), int(cnt)
+    return (c == mh.sum()
+            and np.array_equal(np.asarray(a)[:c], ph[mh])
+            and np.array_equal(np.asarray(b)[:c], (ph[mh] & 1).astype(bool)))
+
+
+@check
+def full_outer_join_on_chip():
+    """r5: the outer join at a size using the widened bool matched column
+    + Pallas compaction, against a numpy oracle."""
+    from cuda.radixsort_tpu.ops.join import join as join_op
+
+    n, nb = 1 << 21, 1 << 19
+    pk = rng.integers(0, 2 * nb, size=n).astype(np.uint32)
+    bk = np.arange(nb, dtype=np.uint32)
+    bv = rng.integers(-100, 100, size=nb).astype(np.int32)
+    ok_, ov, oi, cnt, om = join_op(jnp.asarray(bk), jnp.asarray(bv),
+                                   jnp.asarray(pk), how="full")
+    c = int(cnt)
+    ok_, ov, oi, om = (np.asarray(x)[:c] for x in (ok_, ov, oi, om))
+    matched_mask = pk < nb
+    n_expected = n + (nb - len(np.unique(pk[matched_mask])))
+    good = c == n_expected
+    mm = om & (oi >= 0)
+    good &= np.array_equal(ov[mm], bv[ok_[mm]])
+    good &= bool((ok_[(~om) & (oi >= 0)] >= nb).all())
+    good &= not np.isin(ok_[oi < 0], np.unique(pk)).any()
+    return bool(good)
+
+
 def main() -> int:
     only = os.environ.get("TPU_CHECK_ONLY")
     names = set(only.split(",")) if only else None

@@ -182,7 +182,8 @@ class DeviceSegmentedRadixSort:
     @staticmethod
     def SortKeys(d_keys, num_items: int | None = None,
                  num_segments: int | None = None, d_begin_offsets=None,
-                 d_end_offsets=None, stream: Any = None, *,
+                 d_end_offsets=None, begin_bit: int = 0,
+                 end_bit: int | None = None, stream: Any = None, *,
                  descending: bool = False, config=None):
         keys, wrapped = _unwrap(d_keys)
         _check_items(keys, num_items)
@@ -190,13 +191,15 @@ class DeviceSegmentedRadixSort:
         offs = DeviceSegmentedRadixSort._offsets(
             ns, d_begin_offsets, d_end_offsets, keys.shape[0])
         out = _segmented(keys, offs, descending=descending,
-                         num_segments_bound=ns, config=config)
+                         num_segments_bound=ns, begin_bit=begin_bit,
+                         end_bit=end_bit, config=config)
         return _rewrap(out, d_keys, wrapped)
 
     @staticmethod
     def SortPairs(d_keys, d_values, num_items: int | None = None,
                   num_segments: int | None = None, d_begin_offsets=None,
-                  d_end_offsets=None, stream: Any = None, *,
+                  d_end_offsets=None, begin_bit: int = 0,
+                  end_bit: int | None = None, stream: Any = None, *,
                   descending: bool = False, config=None):
         keys, kw = _unwrap(d_keys)
         values, vw = _unwrap(d_values)
@@ -205,7 +208,8 @@ class DeviceSegmentedRadixSort:
         offs = DeviceSegmentedRadixSort._offsets(
             ns, d_begin_offsets, d_end_offsets, keys.shape[0])
         ok, ov = _segmented(keys, offs, values, descending=descending,
-                            num_segments_bound=ns, config=config)
+                            num_segments_bound=ns, begin_bit=begin_bit,
+                            end_bit=end_bit, config=config)
         return _rewrap(ok, d_keys, kw), _rewrap(ov, d_values, vw)
 
     @staticmethod

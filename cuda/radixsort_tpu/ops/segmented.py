@@ -32,7 +32,8 @@ def _segment_ids(offsets: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("descending", "num_segments_bound", "config")
+    jax.jit, static_argnames=("descending", "num_segments_bound",
+                              "begin_bit", "end_bit", "config")
 )
 def segmented_sort(
     keys: jnp.ndarray,
@@ -41,6 +42,8 @@ def segmented_sort(
     *,
     descending: bool = False,
     num_segments_bound: int | None = None,
+    begin_bit: int | None = None,
+    end_bit: int | None = None,
     config: config_lib.SortConfig | None = None,
 ):
     """Stable sort within each segment. offsets: (num_segments+1,) int32 row
@@ -49,6 +52,9 @@ def segmented_sort(
 
     num_segments_bound caps the segment-limb bit width (default: enough for
     len(offsets)-1 segments) — fewer bits = fewer radix passes.
+    begin_bit/end_bit restrict ordering to a key bit subrange, exactly
+    cub::DeviceSegmentedRadixSort's digit-range arguments (the segment limb
+    always participates fully).
     """
     cfg = config_lib.resolve(config)
     n = keys.shape[0]
@@ -58,9 +64,11 @@ def segmented_sort(
     seg_bits = max(1, (max(nseg - 1, 1)).bit_length())
     seg = _segment_ids(offsets, n)
 
-    limbs, limb_bits = _key_to_limbs(keys, descending, None, None)
+    limbs, limb_bits = _key_to_limbs(keys, descending, begin_bit, end_bit)
 
-    if cfg.engine == "bitonic" and values is None and len(limbs) == 1:
+    full_range = all(b == 0 and e == 32 for (b, e) in limb_bits)
+    if (cfg.engine == "bitonic" and values is None and len(limbs) == 1
+            and full_range):
         # keys-only 32-bit: (segment, key) 2-plane lexicographic network —
         # the segment plane stays ascending, the key limb carries the
         # descending twiddle (ops/sort.py::_bitonic_planes pads/trims).
@@ -74,7 +82,7 @@ def segmented_sort(
     # narrow segment range — declaring it full-width (high bits are zero)
     # keeps the config on the multi-plane fast path / skips masked copies;
     # the radix engine keeps the tight width (fewer digit passes).
-    if cfg.engine in ("bitonic", "xla"):
+    if cfg.engine in ("bitonic", "xla") and full_range:
         limb_bits = [(0, 32)] + limb_bits
     else:
         limb_bits = [(0, seg_bits)] + limb_bits

@@ -57,3 +57,39 @@ def test_segmented_descending():
     got = np.asarray(rs.segmented_sort(jnp.asarray(keys), jnp.asarray(offsets),
                                        descending=True, config=CFG))
     np.testing.assert_array_equal(got, _oracle(keys, offsets, descending=True))
+
+
+def test_segmented_sort_bit_range():
+    """cub::DeviceSegmentedRadixSort's begin_bit/end_bit (r5): ordering uses
+    only the key bit subrange (stable elsewhere); out-of-range bits survive
+    untouched. The segment limb always participates fully."""
+    import cuda.radixsort_tpu as rs
+    from cuda.radixsort_tpu.cub_compat import DeviceSegmentedRadixSort
+
+    rng = np.random.default_rng(21)
+    n = 4096
+    offs = np.sort(rng.choice(np.arange(1, n), 20, replace=False))
+    offsets = np.concatenate([[0], offs, [n]]).astype(np.int32)
+    k = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    v = np.arange(n, dtype=np.int32)
+
+    got = np.asarray(rs.segmented_sort(jnp.asarray(k), jnp.asarray(offsets),
+                                       end_bit=8))
+    want = k.copy()
+    for s in range(len(offsets) - 1):
+        seg = k[offsets[s]:offsets[s + 1]]
+        want[offsets[s]:offsets[s + 1]] = seg[np.argsort(seg & 0xFF,
+                                                         kind="stable")]
+    np.testing.assert_array_equal(got, want)
+
+    ok, ov = DeviceSegmentedRadixSort.SortPairs(
+        jnp.asarray(k), jnp.asarray(v), num_segments=len(offsets) - 1,
+        d_begin_offsets=jnp.asarray(offsets), begin_bit=8, end_bit=16)
+    wk, wv = k.copy(), v.copy()
+    for s in range(len(offsets) - 1):
+        seg = k[offsets[s]:offsets[s + 1]]
+        o = np.argsort((seg >> 8) & 0xFF, kind="stable")
+        wk[offsets[s]:offsets[s + 1]] = seg[o]
+        wv[offsets[s]:offsets[s + 1]] = v[offsets[s]:offsets[s + 1]][o]
+    np.testing.assert_array_equal(np.asarray(ok), wk)
+    np.testing.assert_array_equal(np.asarray(ov), wv)

@@ -365,27 +365,41 @@ def _sort_limbs(
         # gather runs at ~0.11 G rows/s, and a single bool column used to
         # drag EVERY payload column through it (~37 ms each @4M, r5 — it
         # was most of the outer join's filter cost).
-        widened, orig_dtypes = [], []
-        gatherable = True
+        planes, spec = [], []   # spec: (orig_dtype_or_None, n_planes)
+        rideable = True
         for p in payloads:
             isz = jnp.dtype(p.dtype).itemsize
             if isz == 4:
-                widened.append(p)
-                orig_dtypes.append(None)
+                planes.append(p)
+                spec.append((None, 1))
             elif isz < 4:
-                widened.append(_widen_u32(p))
-                orig_dtypes.append(p.dtype)
+                planes.append(_widen_u32(p))
+                spec.append((p.dtype, 1))
+            elif isz == 8 and jnp.issubdtype(p.dtype, jnp.integer):
+                # 8-byte integers split into (lo, hi) u32 planes; f64
+                # stays on the gather route — this backend's X64 rewriter
+                # has no 64-bit float bitcast (verified r5)
+                both = jax.lax.bitcast_convert_type(p, jnp.uint32)
+                planes.extend([both[:, 0], both[:, 1]])
+                spec.append((p.dtype, 2))
             else:
-                gatherable = False
+                rideable = False
                 break
-        if gatherable:
+        if rideable:
             limbs, outp = kpipe.sort_limbs_pallas(
-                limbs, limb_bits, widened, cfg
+                limbs, limb_bits, planes, cfg
             )
-            payloads = [o if d is None else _narrow_u32(o, d)
-                        for o, d in zip(outp, orig_dtypes)]
+            payloads, i = [], 0
+            for d, k in spec:
+                if k == 1:
+                    payloads.append(outp[i] if d is None
+                                    else _narrow_u32(outp[i], d))
+                else:
+                    payloads.append(jax.lax.bitcast_convert_type(
+                        jnp.stack([outp[i], outp[i + 1]], axis=-1), d))
+                i += k
         else:
-            # 8-byte payloads: truck an index through the kernel
+            # f64 (or exotic) payloads: truck an index through the kernel
             # permutation, then gather (values-follow-keys, CUB
             # GatherScatterValues analogue).
             idx = jnp.arange(limbs[0].shape[0], dtype=jnp.int32)

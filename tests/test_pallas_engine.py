@@ -71,3 +71,35 @@ def test_pallas_trivial_pass_skip_constant_and_hot_byte():
     keys = (0x5A000000 | (rng.integers(0, 256, size=n) << 8)).astype(np.uint32)
     got = np.asarray(rs.sort(jnp.asarray(keys), end_bit=16, config=PALLAS))
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_pallas_payload_dtypes_ride_planes():
+    """r5: sub-4-byte payloads widen to u32 planes; 8-byte integer payloads
+    split into (lo, hi) planes; f64 keeps the index+gather route (no 64-bit
+    float bitcast on this backend). All bit-exact vs the stable oracle."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    n = 2500
+    k = rng.integers(0, 2**16, n, dtype=np.uint64).astype(np.uint32)
+    o = np.argsort(k, kind="stable")
+    vb = rng.integers(0, 2, n).astype(bool)
+    v16 = rng.integers(-2**15, 2**15, n).astype(np.int16)
+    v64 = rng.integers(-2**60, 2**60, n, dtype=np.int64)
+    f64 = rng.standard_normal(n)
+    # plane-riding set (no f64): bool widens, i16 widens, i64 splits
+    gk, (ob, o16, o64) = rs.sort_pairs(
+        jnp.asarray(k), (jnp.asarray(vb), jnp.asarray(v16),
+                         jnp.asarray(v64)),
+        config=PALLAS, end_bit=16)
+    np.testing.assert_array_equal(np.asarray(gk), k[o])
+    np.testing.assert_array_equal(np.asarray(ob), vb[o])
+    np.testing.assert_array_equal(np.asarray(o16), v16[o])
+    np.testing.assert_array_equal(np.asarray(o64), v64[o])
+    # an f64 leaf demotes the whole set to the index+gather route
+    gk, (o64b, of) = rs.sort_pairs(
+        jnp.asarray(k), (jnp.asarray(v64), jnp.asarray(f64)),
+        config=PALLAS, end_bit=16)
+    np.testing.assert_array_equal(np.asarray(gk), k[o])
+    np.testing.assert_array_equal(np.asarray(o64b), v64[o])
+    np.testing.assert_array_equal(np.asarray(of), f64[o])

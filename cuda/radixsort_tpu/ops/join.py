@@ -38,11 +38,11 @@ from cuda.radixsort_tpu.ops.sort import sort_pairs as _sort_pairs
 
 # NOTE on primitives: jax.lax.associative_scan at >=2^21 elements fails to
 # compile through this backend's remote-compile path (>40 min; measured).
-# Everything here therefore uses lax.cummax / jnp.cumsum (compact dedicated
-# lowerings, seconds to compile) + at most one n-sized gather. The forward
-# "last value at a marked row" fill is cummax(where(marked, x, -1)) — valid
-# whenever x is non-decreasing at the marked rows (positions and exclusive
-# counts are).
+# Everything here therefore uses plain inclusive scans (_scan1 — the Pallas
+# segmented-scan kernel at >=2^22 rows, cummax/cumsum below; both compile in
+# seconds) + at most one n-sized gather. The forward "last value at a marked
+# row" fill is scan-max(where(marked, x, -1)) — valid whenever x is
+# non-decreasing at the marked rows (positions and exclusive counts are).
 
 
 

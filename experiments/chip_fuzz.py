@@ -28,6 +28,9 @@ rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", 0)))
 
 SIZES = [1000, 4096, 65535, 65536, 65537, (1 << 18) + 7, (1 << 20) - 1,
          (1 << 21) + (1 << 19), (1 << 22) + 3]
+if os.environ.get("FUZZ_BIG") == "1":
+    SIZES = [(1 << 24) - 5, 1 << 24, (1 << 24) + (1 << 22),
+             (1 << 25) + (1 << 22), (1 << 25) + (1 << 24) + 11]
 KEYRANGES = [4, 256, 1 << 16, 1 << 32]
 
 

@@ -791,7 +791,10 @@ def _span_slots(n_planes: int, c: int, brows: int) -> int:
 
     ov = os.environ.get("RS_SPAN_SLOTS")
     if ov:
-        return int(ov)
+        # the rotation needs >= 2 slots: with 1 slot the reclaim gate at
+        # step 0 waits a writeback that was never issued (deadlock on
+        # hardware — r5 review); single-buffered sweeps use RS_SPAN_DB=0
+        return max(int(ov), 2)
     slot_bytes = (1 << c) * brows * LANES * 4 * n_planes
     return 3 if 3 * slot_bytes <= 64 * 1024 * 1024 else 2
 

@@ -65,9 +65,9 @@ def _segment_end_pos(is_start):
     n = is_start.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
-    from cuda.radixsort_tpu.ops.scan import plain_scan
+    from cuda.radixsort_tpu.ops.scan import plain_scan_fast
 
-    filled_rev = plain_scan(
+    filled_rev = plain_scan_fast(
         jnp.where(is_end[::-1], pos, -1), "max")  # pos is the REVERSED index
     return (n - 1) - filled_rev[::-1]
 
@@ -305,9 +305,9 @@ def _groupby_quantile(
         valid_sorted = sorted_cols[0] == 0
     is_start = _group_starts(skeys, valid_sorted)
     pos = jnp.arange(n, dtype=jnp.int32)
-    from cuda.radixsort_tpu.ops.scan import plain_scan
+    from cuda.radixsort_tpu.ops.scan import plain_scan_fast
 
-    start = plain_scan(jnp.where(is_start, pos, -1), "max")
+    start = plain_scan_fast(jnp.where(is_start, pos, -1), "max")
     # gather-free selection (r3): rank-in-segment and segment size are
     # pure position arithmetic, valid at EVERY row; the quantile's floor/
     # ceil-rank rows are marked in place and their values transported back

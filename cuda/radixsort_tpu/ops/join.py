@@ -51,9 +51,9 @@ def _scan1(x, op):
     """Plain inclusive scan — see ops/scan.py::plain_scan (Pallas kernel
     at >=2^22 rows on TPU; XLA reduce-window scans cost far more than one
     pass there)."""
-    from cuda.radixsort_tpu.ops.scan import plain_scan
+    from cuda.radixsort_tpu.ops.scan import plain_scan_fast
 
-    return plain_scan(x, op)
+    return plain_scan_fast(x, op)
 
 
 def _fill_from_marks(marked, x, fill=-1):
@@ -210,13 +210,9 @@ def join(
     # 16M fk join 61.8 vs 144.9; 234M chunk 1.08 s vs 12.9 s — the XLA
     # gather path runs at the ~0.07 G rows/s TPU gather floor). Tiny
     # joins keep the fused XLA path.
-    if cfg.engine == "reference":
-        fcfg = cfg
-    elif (ntot >= (1 << 20)
-          and config_lib.default_backend() == "tpu" and not cfg.interpret):
-        fcfg = cfg.replace(engine="pallas")
-    else:
-        fcfg = cfg.replace(engine="xla")
+    from cuda.radixsort_tpu.ops.filter import compaction_config
+
+    fcfg = compaction_config(cfg, ntot)
     if how == "inner":
         keep = is_probe & matched
         (ok, ov, oi), count = _filter_columns(

@@ -128,15 +128,17 @@ def _segmented_doubling(values, flags, f):
     return v
 
 
-def plain_scan(x, op):
-    """Plain (unsegmented) inclusive scan, routed through the Pallas
-    segmented-scan kernel on TPU at >=2^22 rows: XLA's cummax/cummin/
-    cumsum lower to log-depth reduce-windows costing far more than one
-    pass (measured @5M on v5e, r5: cummax 3.75 ms, cumsum 0.95 ms vs the
-    kernel's ~0.4 ms one-read-one-write)."""
+def plain_scan_fast(x, op):
+    """Plain (unsegmented) inclusive scan for the NAMED ops "max"/"min"/
+    "sum": the Pallas segmented-scan kernel on TPU at >=2^18 rows (XLA's
+    cummax/cummin/cumsum lower to log-depth reduce-windows costing far
+    more than one pass — measured @5M on v5e, r5: cummax 3.75 ms, cumsum
+    0.95 ms vs the kernel's ~0.4 ms one-read-one-write), the dedicated
+    lax lowerings otherwise (CPU CI included). The general `plain_scan`
+    below serves arbitrary/custom operators via the compat layers."""
     from cuda.radixsort_tpu import config as _config_lib
 
-    if (x.ndim == 1 and x.shape[0] >= (1 << 22)
+    if (x.ndim == 1 and x.shape[0] >= (1 << 18)
             and _config_lib.default_backend() == "tpu"):
         return segmented_scan(x, jnp.zeros(x.shape, bool), op)
     import jax

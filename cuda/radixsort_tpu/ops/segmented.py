@@ -26,9 +26,9 @@ def _segment_ids(offsets: jnp.ndarray, n: int) -> jnp.ndarray:
     ind = jnp.zeros((n + 1,), jnp.uint32).at[offsets[1:-1]].add(
         1, mode="drop"
     )[:n]
-    from cuda.radixsort_tpu.ops.scan import plain_scan
+    from cuda.radixsort_tpu.ops.scan import plain_scan_fast
 
-    return plain_scan(ind.astype(jnp.int32), "sum").astype(jnp.uint32)
+    return plain_scan_fast(ind.astype(jnp.int32), "sum").astype(jnp.uint32)
 
 
 @functools.partial(
@@ -66,7 +66,14 @@ def segmented_sort(
 
     limbs, limb_bits = _key_to_limbs(keys, descending, begin_bit, end_bit)
 
-    full_range = all(b == 0 and e == 32 for (b, e) in limb_bits)
+    # full range = the caller gave no bit restriction (compare against the
+    # key dtype's own width, NOT 32 — u8/u16 keys yield (0, width) limb
+    # declarations and previously fell off the fast paths, r5 review)
+    from cuda.radixsort_tpu import twiddle as _twiddle
+
+    kw = _twiddle.bit_width(keys.dtype)
+    full_range = ((begin_bit is None or begin_bit == 0)
+                  and (end_bit is None or end_bit == kw))
     if (cfg.engine == "bitonic" and values is None and len(limbs) == 1
             and full_range):
         # keys-only 32-bit: (segment, key) 2-plane lexicographic network —

@@ -78,9 +78,9 @@ def top_k(keys: jnp.ndarray, k: int, *, largest: bool = True,
     ties = tb == tt              # threshold ties: take enough to fill k
     n_strict = jnp.sum(strictly.astype(jnp.int32))
     # rank ties by position: tie i kept iff (# ties before i) < k - n_strict
-    from cuda.radixsort_tpu.ops.scan import plain_scan
+    from cuda.radixsort_tpu.ops.scan import plain_scan_fast
 
-    tie_rank = plain_scan(ties.astype(jnp.int32), "sum") - 1
+    tie_rank = plain_scan_fast(ties.astype(jnp.int32), "sum") - 1
     keep = strictly | (ties & (tie_rank < (k - n_strict)))
     idx = jnp.arange(n, dtype=jnp.int32)
     # keeps the Pallas stage: select is histogram math, there is no big

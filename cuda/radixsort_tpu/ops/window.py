@@ -99,14 +99,14 @@ def window(
     #   row_number = pos - partition_start + 1
     #   rank       = peer_run_start - partition_start + 1
     pos = jnp.arange(n, dtype=jnp.int32)
-    from cuda.radixsort_tpu.ops.scan import plain_scan
+    from cuda.radixsort_tpu.ops.scan import plain_scan_fast
 
-    part_start = plain_scan(jnp.where(heads, pos, -1), "max")
+    part_start = plain_scan_fast(jnp.where(heads, pos, -1), "max")
     row_number = pos - part_start + 1
     # peer runs (equal order value within a partition) drive rank/dense_rank
     peer_heads = heads | jnp.concatenate(
         [jnp.ones((1,), bool), sorder[1:] != sorder[:-1]])
-    peer_start = plain_scan(jnp.where(peer_heads, pos, -1), "max")
+    peer_start = plain_scan_fast(jnp.where(peer_heads, pos, -1), "max")
 
     out_cols = {}
     for name, src, fn in outputs:

@@ -57,13 +57,9 @@ def filter_sort_join(
     # compaction routing mirrors ops/join.py: Pallas 1-bit stage from
     # 2^20 rows (the old xla-wins-at-4M result was an elision artifact —
     # materialized, pallas 75.9 vs xla 122.9 ms at 4M, r5)
-    fcfg = config_lib.resolve(config)
-    if fcfg.engine != "reference":
-        if (n >= (1 << 20) and config_lib.default_backend() == "tpu"
-                and not fcfg.interpret):
-            fcfg = fcfg.replace(engine="pallas")
-        else:
-            fcfg = fcfg.replace(engine="xla")
+    from cuda.radixsort_tpu.ops.filter import compaction_config
+
+    fcfg = compaction_config(config_lib.resolve(config), n)
     (fk, fv), nf = filter_columns(mask, (probe_keys, probe_vals), config=fcfg)
 
     # join ignores the invalid tail by keying it with a reserved sentinel

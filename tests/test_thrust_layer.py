@@ -155,21 +155,33 @@ def test_thrust_sort_by_key_variants(rng):
 
 
 def test_thrust_sort_by_key_2d_values(rng):
-    """Values with trailing dims (an (N, 3) point column) take the
-    argsort + take(axis=0) route (ADVICE r4: sort_pairs planes are rank-1
-    only and crashed on 2-D leaves)."""
-    k = rng.integers(0, 2**32, size=700, dtype=np.uint64).astype(np.uint32)
-    pts = rng.standard_normal((700, 3)).astype(np.float32)
+    """2-D value leaves: narrow 4-byte columns ((N, 3) points) split into
+    per-column planes and ride the sort; wide (N, 16) leaves take the
+    argsort + take(axis=0) fallback (r5). Keys are a permutation —
+    strictly unique — so stable and unstable orders coincide and the
+    asserts are exact by contract, not by luck."""
+    n = 700
+    k = rng.permutation(np.arange(1000, dtype=np.uint32))[:n]
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
     o = np.argsort(k, kind="stable")
     ok, opts = thrust.sort_by_key(jnp.asarray(k), jnp.asarray(pts))
     np.testing.assert_array_equal(np.asarray(ok), k[o])
     np.testing.assert_array_equal(np.asarray(opts), pts[o])
-    # mixed pytree: one flat leaf, one 2-D leaf
-    v = rng.integers(0, 2**31, size=700).astype(np.int32)
+    # mixed pytree: one flat leaf, one 2-D leaf (split-plane route)
+    v = rng.integers(0, 2**31, size=n).astype(np.int32)
     ok, ovt = thrust.stable_sort_by_key(
         jnp.asarray(k), {"v": jnp.asarray(v), "pts": jnp.asarray(pts)})
     np.testing.assert_array_equal(np.asarray(ovt["v"]), v[o])
     np.testing.assert_array_equal(np.asarray(ovt["pts"]), pts[o])
+    # wide leaf (N, 16) exceeds the split cap -> argsort+take fallback
+    wide = rng.standard_normal((n, 16)).astype(np.float32)
+    ok, ow = thrust.sort_by_key(jnp.asarray(k), jnp.asarray(wide))
+    np.testing.assert_array_equal(np.asarray(ok), k[o])
+    np.testing.assert_array_equal(np.asarray(ow), wide[o])
+    # 8-byte 2-D leaf also falls back
+    w64 = rng.integers(-2**60, 2**60, size=(n, 2), dtype=np.int64)
+    ok, o64 = thrust.sort_by_key(jnp.asarray(k), jnp.asarray(w64))
+    np.testing.assert_array_equal(np.asarray(o64), w64[o])
 
 
 def test_thrust_is_sorted(rng):
